@@ -1,0 +1,25 @@
+"""gnntf_tpu — a TPU-native graph neural network framework.
+
+Brand-new JAX/XLA/Pallas implementation providing the capabilities of the
+`gnntf` reference library (MKLab-ITI/gnn-tf) in a TPU-first design.  The
+public API is flat, mirroring the reference's star-exports
+(reference gnntf/__init__.py:1-2).
+"""
+from . import measures
+from .graph import (Graph, add_self_loops, adj2graph, create_nx_graph,
+                    from_edges, graph2adj, graph2indices)
+from .measures import acc, auc, avprec, f1, prec, rec, set_seed
+from .models import (APPNP, APPNP2, GAT, GCN, GCNII, MLP, NGCF, APPNPReg,
+                     APPNPThrough, FastReg, GATLayer, GCNIILayer,
+                     GCNIISpectralPreservingLayer, GCNIIReg, GCNLayer,
+                     GCNSpectralPreservingLayer, GNN, NGCFLayer, PPRIteration,
+                     PPRSweep, StableIteration, Structural)
+from .nn import (LSTM, Activation, Branch, Concatenate, Dense, Dropout,
+                 Forward, Layer, Network, Resume, Tradeoff, Wrap)
+from .ops import (dropout, normalize_adjacency, sddmm, segment_softmax,
+                  set_spmm_impl, spmm)
+from .tasks import (LinkPrediction, MeanLinkPrediction, NodeClassification,
+                    Predictor, negative_sampling, recommend_all)
+from .train import Trainable, fit, keras_adam
+
+__version__ = "0.1.0"

@@ -1,0 +1,235 @@
+"""Dataset loading + split utilities
+(reference: experiments/experiment_setup.py — the de-facto data layer).
+
+The framework-wide data contract is the tuple
+``(G, labels, features, train, valid, test)`` (README.md:14-17):
+a directed networkx graph, numpy label/feature arrays in graph-iteration
+order, and three index lists.
+"""
+from __future__ import annotations
+
+import os
+import pickle
+import random
+from typing import Optional
+
+import numpy as np
+
+
+def dgl_setup(dataset_name: str, data_dir: str = "data"):
+    """Canonical loader (reference experiment_setup.py:153-181): DGL
+    Cora/Citeseer/Pubmed with a pickle cache.  Fallback order here:
+    pickle cache -> DGL (if installed) -> citeseer-style files on disk ->
+    deterministic synthetic stand-in (flagged via env
+    ``GNNTF_TPU_ALLOW_SYNTHETIC=1``) -> error."""
+    import networkx as nx
+
+    cache = os.path.join(data_dir, dataset_name + ".dat")
+    if os.path.exists(cache):
+        with open(cache, "rb") as f:
+            return pickle.load(f)
+    try:
+        from dgl.data import (CiteseerGraphDataset, CoraGraphDataset,
+                              PubmedGraphDataset)
+        loaders = {"cora": CoraGraphDataset, "citeseer": CiteseerGraphDataset,
+                   "pubmed": PubmedGraphDataset}
+        if dataset_name not in loaders:
+            raise ValueError("Invalid dataset name")
+        data = loaders[dataset_name](verbose=False)
+        g = data[0]
+        features = g.ndata["feat"].numpy()
+        labels = g.ndata["label"].numpy()
+        G = nx.DiGraph()
+        U, V = g.edges()
+        G.add_nodes_from(g.nodes().numpy().tolist())
+        G.add_edges_from(zip(U.numpy().tolist(), V.numpy().tolist()))
+        ret = (G, labels, features,
+               np.where(g.ndata["train_mask"])[0].tolist(),
+               np.where(g.ndata["val_mask"])[0].tolist(),
+               np.where(g.ndata["test_mask"])[0].tolist())
+        os.makedirs(data_dir, exist_ok=True)
+        with open(cache, "wb") as f:
+            pickle.dump(ret, f)
+        return ret
+    except ImportError:
+        pass
+    cites = os.path.join(data_dir, dataset_name + ".cites")
+    if os.path.exists(cites):
+        G, features, labels = load(dataset_name, data_dir=data_dir)
+        feats = np.array([features[u] for u in G], np.float32)
+        label_ids = {l: i for i, l in enumerate(sorted(set(labels.values())))}
+        labs = np.array([label_ids[labels[u]] for u in G])
+        train, valid, test = custom_splits(labs, num_validation=500)
+        return G, labs, feats, train, valid, test
+    if os.environ.get("GNNTF_TPU_ALLOW_SYNTHETIC") == "1":
+        from .synthetic import synthetic_planetoid
+        sizes = {"cora": (2708, 7, 1433), "citeseer": (3327, 6, 3703),
+                 "pubmed": (19717, 3, 500)}
+        n, c, f = sizes.get(dataset_name, (2708, 7, 256))
+        return synthetic_planetoid(n_nodes=n, n_classes=c,
+                                   n_features=min(f, 512))
+    raise FileNotFoundError(
+        f"No cached/offline data for {dataset_name!r} and DGL is not "
+        f"installed; place a pickle at {cache} or set "
+        f"GNNTF_TPU_ALLOW_SYNTHETIC=1 for a synthetic stand-in")
+
+
+_loaded = {}
+
+
+def load(dataset_name: str, data_dir: str = "data"):
+    """citeseer-style ``.cites``/``.content`` or ``.npz`` CSR loader with
+    in-memory memo (reference experiment_setup.py:260-323)."""
+    if dataset_name in _loaded:
+        G, features, labels = _loaded[dataset_name]
+        return G.copy(), features, labels
+    if ".npz" in dataset_name:
+        G, features, labels = _np_load(dataset_name, data_dir)
+    else:
+        G, features, labels = _dataload(dataset_name, data_dir)
+    _loaded[dataset_name] = (G, features, labels)
+    return G, features, labels
+
+
+def _np_load(dataset_name, data_dir):
+    import networkx as nx
+    from scipy.sparse import csr_matrix
+
+    loc = np.load(os.path.join(data_dir, dataset_name), allow_pickle=True)
+    adj = csr_matrix((loc["adj_matrix.data"], loc["adj_matrix.indices"],
+                      loc["adj_matrix.indptr"]), shape=loc["adj_matrix.shape"],
+                     dtype=float)
+    attr = csr_matrix((loc["attr_matrix.data"], loc["attr_matrix.indices"],
+                       loc["attr_matrix.indptr"]),
+                      shape=loc["attr_matrix.shape"], dtype=float)
+    G = nx.from_scipy_sparse_array(adj, create_using=nx.DiGraph)
+    attr = np.asarray(attr.todense())
+    features = {u: attr[u].tolist() for u in range(len(G))}
+    labels = {u: label for u, label in enumerate(loc["labels"])}
+    return G, features, labels
+
+
+def _dataload(dataset_name, data_dir):
+    import networkx as nx
+
+    G = nx.DiGraph()
+    with open(os.path.join(data_dir, dataset_name + ".cites")) as file:
+        for line in file:
+            edge = line.rstrip("\n").split("\t")
+            if len(edge) < 2:
+                continue
+            u = edge[-2].split(":")[-1]
+            v = edge[-1].split(":")[-1]
+            if u != v:
+                G.add_edge(u, v)
+    features, labels = {}, {}
+    feature_map = None
+    with open(os.path.join(data_dir, dataset_name + ".content")) as file:
+        for line in file:
+            line = line.rstrip("\n").split("\t")
+            if line[0] == "NODE":
+                continue
+            if ":label" in line[0]:
+                feature_map = [var.split(":")[1] for var in line[2:]]
+                continue
+            if line[0] not in G:
+                continue
+            if feature_map is not None:
+                line_feats = {val.split("=")[0]: val.split("=")[1]
+                              for val in line[2:]}
+                line_feats["summary"] = 0
+                features[line[0]] = [float(line_feats.get(val, 0))
+                                     for val in feature_map]
+                labels[line[0]] = line[1]
+            else:
+                features[line[0]] = [float(val) for val in line[1:-1]]
+                labels[line[0]] = line[-1]
+    for u in list(G):
+        if u not in features:
+            G.remove_node(u)
+    return G, features, labels
+
+
+def custom_splits(labels, examples_per_class: int = 20,
+                  num_validation: Optional[int] = 500, seed: int = 0):
+    """Planetoid-style splits: ``examples_per_class`` train nodes per class,
+    ``num_validation`` validation nodes, rest test
+    (reference experiment_setup.py:183-201)."""
+    random.seed(seed)
+    labels = np.asarray(labels)
+    order = list(range(labels.shape[0]))
+    random.shuffle(order)
+    count, training_idx = {}, []
+    for pos in order:
+        if labels[pos] == -1:
+            continue
+        if count.get(labels[pos], 0) < examples_per_class:
+            training_idx.append(pos)
+            count[labels[pos]] = count.get(labels[pos], 0) + 1
+    test_idx = list(set(pos for pos in range(labels.shape[0])
+                        if labels[pos] != -1) - set(training_idx))
+    random.shuffle(test_idx)
+    if num_validation is None:
+        num_validation = len(count) * examples_per_class
+    valid_idx = test_idx[:num_validation]
+    test_idx = test_idx[num_validation:]
+    return training_idx, valid_idx, test_idx
+
+
+def random_splits(labels, training: float = 0.6, validation: float = 0.2,
+                  seed: int = 0):
+    """Fraction-based random splits (reference experiment_setup.py:204-210)."""
+    random.seed(seed)
+    labels = np.asarray(labels)
+    order = list(range(labels.shape[0]))
+    random.shuffle(order)
+    sep_training = int(len(order) * training)
+    sep_valid = int(len(order) * (training + validation))
+    return order[:sep_training], order[sep_training:sep_valid], order[sep_valid:]
+
+
+def sample_edges(G):
+    """Link-prediction dataset builder: per edge, 1 positive + 2 structured
+    negatives (corrupt head / corrupt tail)
+    (reference experiment_setup.py:25-41)."""
+    node2id = {u: idx for idx, u in enumerate(G)}
+    nodes = list(G)
+    edges = [[node2id[u], node2id[v]] for u, v in G.edges() if u != v]
+    labels = [1] * len(edges) + [0] * (2 * len(edges))
+    for u, v in G.edges():
+        if u == v:
+            continue
+        neg = v
+        while neg == u or neg == v or G.has_edge(u, neg):
+            neg = random.choice(nodes)
+        edges.append([node2id[u], node2id[neg]])
+        neg = v
+        while neg == u or neg == v or G.has_edge(neg, v):
+            neg = random.choice(nodes)
+        edges.append([node2id[neg], node2id[v]])
+    return np.array(edges), np.array(labels)
+
+
+def enrich_features(features, positional: bool = True, labels=None,
+                    train=None):
+    """Optional label one-hots for train nodes + binary positional encodings
+    (reference experiment_setup.py:7-22)."""
+    features = np.asarray(features)
+    if labels is not None:
+        labels = np.asarray(labels)
+        num_classes = len(set(labels.tolist()))
+        label_features = np.zeros((features.shape[0], num_classes))
+        for i in train:
+            label_features[i][labels[i]] = 1
+        features = np.concatenate((features, label_features), axis=1)
+    if positional:
+        num_positions = int(1.5 + np.log2(features.shape[0] + 1))
+        positional_features = np.zeros((features.shape[0], num_positions))
+        for i in range(features.shape[0]):
+            bits = bin(i + 1)[2:]
+            norm = sum(float(val) for val in bits)
+            for pos, val in enumerate(bits):
+                positional_features[i][num_positions - 1 - pos] = \
+                    float(val) / norm
+        features = np.concatenate((features, positional_features), axis=1)
+    return features

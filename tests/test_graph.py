@@ -1,0 +1,135 @@
+"""Graph core: conversion semantics + normalization vs dense numpy oracle.
+
+The oracle replicates the reference math (gnn.py:36-50,
+graph_manipulation.py:24-31) independently in numpy.
+"""
+import networkx as nx
+import numpy as np
+import pytest
+
+import gnntf_tpu as gt
+from gnntf_tpu.graph import from_edges
+from gnntf_tpu.ops import normalize_adjacency, spmm
+
+
+def dense_of(graph):
+    return np.asarray(graph.to_dense())
+
+
+def test_graph2adj_symmetrizes_and_sums_duplicates():
+    G = nx.DiGraph()
+    G.add_nodes_from(range(3))
+    G.add_edge(0, 1)
+    G.add_edge(1, 0)  # reciprocal pair -> value-2 entries after symmetrize
+    G.add_edge(1, 2, weight=3.0)
+    adj = gt.graph2adj(G)
+    dense = dense_of(adj)
+    assert dense[0, 1] == 2.0 and dense[1, 0] == 2.0
+    assert dense[1, 2] == 3.0 and dense[2, 1] == 3.0
+
+
+def test_graph2adj_directed():
+    G = nx.DiGraph()
+    G.add_nodes_from("abc")
+    G.add_edge("a", "b")
+    adj = gt.graph2adj(G, directed=True)
+    dense = dense_of(adj)
+    assert dense[0, 1] == 1.0 and dense[1, 0] == 0.0
+
+
+def test_node_order_contract():
+    G = nx.DiGraph()
+    for u in ["x", "z", "a"]:
+        G.add_node(u)
+    G.add_edge("z", "a")
+    ids = gt.graph2indices(G)
+    assert ids == [[1, 2]]  # graph-iteration order, not sorted order
+
+
+def _numpy_symmetric_norm(dense):
+    colsum = dense.sum(axis=0)
+    with np.errstate(divide="ignore"):
+        d = np.where(colsum > 0, 1.0 / np.sqrt(colsum), 0.0)
+    return d[:, None] * dense * d[None, :]
+
+
+def test_symmetric_normalization_matches_oracle():
+    rng = np.random.RandomState(0)
+    n = 12
+    src, dst = np.nonzero(rng.rand(n, n) < 0.3)
+    vals = rng.rand(src.shape[0])
+    g = from_edges(src, dst, vals, n_nodes=n)
+    normed = normalize_adjacency(g, graph_dropout=0.0)
+    np.testing.assert_allclose(
+        dense_of(normed), _numpy_symmetric_norm(dense_of(g)),
+        rtol=1e-5, atol=1e-6)
+
+
+def test_bipartite_normalization_matches_oracle():
+    rng = np.random.RandomState(1)
+    n = 10
+    src, dst = np.nonzero(rng.rand(n, n) < 0.4)
+    g = from_edges(src, dst, n_nodes=n)
+    normed = normalize_adjacency(g, graph_dropout=0.0, normalized="bipartite")
+    dense = dense_of(g)
+    colsum = dense.sum(axis=0)
+    d = np.where(colsum != 0, 1.0 / np.where(colsum == 0, 1, colsum), 0.0)
+    np.testing.assert_allclose(dense_of(normed), d[:, None] * dense,
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_isolated_nodes_divide_no_nan():
+    g = from_edges([0], [1], n_nodes=4)  # nodes 2,3 isolated
+    normed = normalize_adjacency(g, graph_dropout=0.0)
+    assert np.all(np.isfinite(dense_of(normed)))
+
+
+def test_add_eye_before_and_after():
+    g = from_edges([0, 1], [1, 0], n_nodes=2)
+    before = normalize_adjacency(g, graph_dropout=0.0, add_eye="before")
+    dense = dense_of(before)
+    # A+I has colsums [2,2]; normalized entries all 0.5
+    np.testing.assert_allclose(dense, np.full((2, 2), 0.5), rtol=1e-6)
+    after = normalize_adjacency(g, graph_dropout=0.0, add_eye="after")
+    dense_a = dense_of(after)
+    # normalize first (entries 1.0), then add raw eye
+    np.testing.assert_allclose(dense_a, np.array([[1.0, 1.0], [1.0, 1.0]]),
+                               rtol=1e-6)
+
+
+def test_invalid_normalization_raises():
+    g = from_edges([0], [1], n_nodes=2)
+    with pytest.raises(ValueError):
+        normalize_adjacency(g, graph_dropout=0.0, normalized="nope")
+
+
+def test_spmm_matches_dense():
+    rng = np.random.RandomState(2)
+    n, f = 15, 7
+    src, dst = np.nonzero(rng.rand(n, n) < 0.3)
+    vals = rng.randn(src.shape[0])
+    g = from_edges(src, dst, vals, n_nodes=n)
+    x = rng.randn(n, f).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(spmm(g, x)), dense_of(g) @ x,
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_edge_dropout_expectation():
+    import jax
+    g = from_edges(np.zeros(2000, np.int64), np.arange(2000) % 50,
+                   n_nodes=2000)
+    from gnntf_tpu.ops.normalize import edge_dropout
+    dropped = edge_dropout(g, 0.5, jax.random.PRNGKey(0))
+    vals = np.asarray(dropped.val)
+    # survivors scaled by 1/(1-rate): values are 0 or 2
+    assert set(np.unique(vals)).issubset({0.0, 2.0})
+    assert abs(vals.mean() - 1.0) < 0.15
+
+
+def test_adj2graph_roundtrip():
+    G = nx.DiGraph()
+    G.add_nodes_from(range(4))
+    G.add_edges_from([(0, 1), (2, 3)])
+    adj = gt.graph2adj(G, directed=True)
+    G2 = gt.adj2graph(range(4), adj)
+    assert set(G2.edges()) == {(0, 1), (2, 3)}

@@ -1,0 +1,156 @@
+"""Model zoo: shapes, determinism, and end-to-end training quality."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import gnntf_tpu as gt
+
+
+@pytest.fixture(scope="module")
+def data(request):
+    from gnntf_tpu.data import synthetic_planetoid
+    G, labels, features, train, valid, test = synthetic_planetoid(
+        n_nodes=200, n_classes=4, n_features=24, avg_degree=6.0, seed=3,
+        train_per_class=10, n_valid=40)
+    return dict(G=G, labels=labels, features=features, train=train,
+                valid=valid, test=test, adj=gt.graph2adj(G),
+                num_classes=len(set(labels.tolist())))
+
+
+ALL_MODELS = ["appnp", "gcn", "gcnii", "mlp", "gat", "ngcf", "appnp2"]
+
+
+def build(name, d):
+    C = d["num_classes"]
+    if name == "appnp":
+        return gt.APPNP(d["adj"], d["features"], num_classes=C, iterations=4)
+    if name == "gcn":
+        return gt.GCN(d["adj"], d["features"], num_classes=C)
+    if name == "gcnii":
+        return gt.GCNII(d["adj"], d["features"], num_classes=C, iterations=4)
+    if name == "mlp":
+        return gt.MLP(d["features"], num_classes=C)
+    if name == "gat":
+        return gt.GAT(d["adj"], d["features"], num_classes=C, heads=2)
+    if name == "ngcf":
+        return gt.NGCF(d["adj"], d["features"], num_classes=C)
+    if name == "appnp2":
+        return gt.APPNP2(d["adj"], d["features"], num_classes=C, iterations=3)
+    raise ValueError(name)
+
+
+@pytest.mark.parametrize("name", ALL_MODELS)
+def test_forward_shape_and_determinism(name, data):
+    model = build(name, data)
+    C = data["num_classes"]
+    n = data["features"].shape[0]
+    params = model.init(0)
+    out1 = model.apply(params, model.features, training=False)
+    out2 = model.apply(params, model.features, training=False)
+    expected_cols = C * 3 if name == "ngcf" else C
+    assert out1.shape == (n, expected_cols)
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+    assert np.all(np.isfinite(np.asarray(out1)))
+
+
+@pytest.mark.parametrize("name", ALL_MODELS)
+def test_training_dropout_is_stochastic_but_seeded(name, data):
+    model = build(name, data)
+    params = model.init(0)
+    k = jax.random.PRNGKey(7)
+    out1 = model.apply(params, model.features, training=True, rng=k)
+    out2 = model.apply(params, model.features, training=True, rng=k)
+    out3 = model.apply(params, model.features, training=True,
+                       rng=jax.random.PRNGKey(8))
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+    assert not np.array_equal(np.asarray(out1), np.asarray(out3))
+
+
+def test_appnp_learns_synthetic(data):
+    gt.set_seed(0)
+    model = build("appnp", data)
+    labels = data["labels"]
+    model.train(train=gt.NodeClassification(data["train"],
+                                            labels[data["train"]]),
+                valid=gt.NodeClassification(data["valid"],
+                                            labels[data["valid"]]),
+                patience=30, epochs=150, seed=0)
+    pred = model.predict(gt.NodeClassification(data["test"]))
+    acc = gt.acc(np.asarray(pred), labels[data["test"]])
+    assert acc > 0.6, f"APPNP failed to learn: acc={acc}"
+
+
+def test_gcn_learns_synthetic(data):
+    gt.set_seed(0)
+    model = build("gcn", data)
+    labels = data["labels"]
+    model.train(train=gt.NodeClassification(data["train"],
+                                            labels[data["train"]]),
+                valid=gt.NodeClassification(data["valid"],
+                                            labels[data["valid"]]),
+                patience=30, epochs=150, seed=0)
+    pred = model.predict(gt.NodeClassification(data["test"]))
+    acc = gt.acc(np.asarray(pred), labels[data["test"]])
+    assert acc > 0.6, f"GCN failed to learn: acc={acc}"
+
+
+def test_structural_preprocessor(data):
+    model = gt.GNN(data["adj"], np.zeros((200, 0), np.float32),
+                   preprocessor=gt.Structural(dims=8))
+    model.add(gt.Dense(4))
+    out = model.apply(model.init(0), model.features)
+    assert out.shape == (200, 4)
+
+
+def test_structural_bipartite_split(data):
+    pre = gt.Structural(dims=8, bipartite=50, l2_contraint=True)
+    model = gt.GNN(data["adj"], data["features"], preprocessor=pre)
+    params = model.init(0)
+    out = model.apply(params, model.features)
+    assert out.shape == (200, 8 + 24)
+    emb = np.asarray(out[:, :8])
+    np.testing.assert_allclose((emb ** 2).sum(1), np.ones(200), rtol=1e-4)
+
+
+def test_gcnii_zero_init_identity_start(data):
+    """At init (W=0), a GCNII layer is a pure (1-b)I mix — output finite and
+    dependent only on propagation (reference gcn.py:11 zero-init)."""
+    model = build("gcnii", data)
+    params = model.init(0)
+    for spec in model.param_specs:
+        if spec.shape == (64, 64):
+            assert np.all(np.asarray(params[spec.name]) == 0)
+
+
+def test_custom_composed_gnn(data):
+    """The custom-composition extension API (demos/custom_layers.py)."""
+    C = data["num_classes"]
+    gnn = gt.GNN(data["adj"], data["features"])
+    gnn.add(gt.Dense(16, activation=jax.nn.relu, dropout=0.4))
+    H0 = gnn.add(gt.Dense(C, activation=jax.nn.relu, regularize=False))
+    for _ in range(4):
+        gnn.add(gt.PPRIteration(H0, 0.1))
+    out = gnn.apply(gnn.init(0), gnn.features)
+    assert out.shape == (200, C)
+
+
+def test_learnable_restart_probability(data):
+    model = gt.APPNP(data["adj"], data["features"],
+                     num_classes=data["num_classes"], a=None, iterations=3)
+    params = model.init(0)
+    out = model.apply(params, model.features)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_pprsweep_and_fastreg(data):
+    C = data["num_classes"]
+    model = gt.GNN(data["adj"], data["features"])
+    model.add(gt.PPRSweep())
+    model.add(gt.FastReg())
+    model.add(gt.Dense(C))
+    params = model.init(0)
+    out, fw = model.apply(params, model.features, training=False,
+                          return_ctx=True)
+    assert out.shape == (200, C)
+    assert len(fw.extra_losses) == 1  # FastReg contributed its -lambda loss

