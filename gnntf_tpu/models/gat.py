@@ -49,9 +49,9 @@ class GATLayer(Layer):
         return (n, width)
 
     def apply(self, fw: Forward, x):
-        graph: Graph = fw.net.graph
+        graph: Graph = fw.graph
         if self.self_loops:
-            graph = _with_loops_cached(fw.net)
+            graph = add_self_loops(graph)  # XLA CSEs the concat across layers
         row, col = graph.row, graph.col
         n, h_cnt, f = graph.n_nodes, self.heads, self.out_dim
 
@@ -80,15 +80,6 @@ class GATLayer(Layer):
         if self.activation is not None:
             out = self.activation(out)
         return fw.dropout(out, self.dropout_rate)
-
-
-def _with_loops_cached(net) -> Graph:
-    """Self-loop-extended graph, built once per model (static structure)."""
-    cached = getattr(net, "_gat_loop_graph", None)
-    if cached is None:
-        cached = add_self_loops(net.graph)
-        net._gat_loop_graph = cached
-    return cached
 
 
 class GAT(GNN):

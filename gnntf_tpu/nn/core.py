@@ -103,12 +103,13 @@ class Forward:
     training-mode flag and ``.value`` caches with explicit state)."""
 
     __slots__ = ("net", "params", "training", "acts", "extra_losses",
-                 "_base_rng", "_layer_rng", "_counter")
+                 "graph", "_base_rng", "_layer_rng", "_counter")
 
     def __init__(self, net: "Network", params: Params, training: bool,
-                 rng: Optional[jax.Array]):
+                 rng: Optional[jax.Array], graph=None):
         self.net = net
         self.params = params
+        self.graph = graph if graph is not None else getattr(net, "graph", None)
         self.training = bool(training)
         self.acts: List[jax.Array] = []
         self.extra_losses: List[jax.Array] = []
@@ -158,7 +159,7 @@ class Forward:
         """The per-layer normalized adjacency (reference GNN.get_adjacency,
         gnn.py:36-50): fresh edge-dropout mask per call, renormalized after
         dropout."""
-        graph = getattr(self.net, "graph", None)
+        graph = self.graph
         if graph is None:
             raise ValueError("adjacency() requires a graph-bearing model (GNN)")
         from ..ops.normalize import normalize_adjacency
@@ -246,9 +247,13 @@ class Network:
         return params
 
     def apply(self, params: Params, x: jax.Array, *, rng=None,
-              training: bool = False, return_ctx: bool = False):
-        """Sequential forward fold (layered.py:52-55), trace-compatible."""
-        fw = Forward(self, params, training, rng)
+              training: bool = False, return_ctx: bool = False, graph=None):
+        """Sequential forward fold (layered.py:52-55), trace-compatible.
+
+        ``graph`` overrides the model-bound adjacency for this trace — used
+        by the distributed path to feed a sharded (traced) Graph instead of
+        the closure-captured constant."""
+        fw = Forward(self, params, training, rng, graph=graph)
         h = x
         for i, layer in enumerate(self._layers):
             fw.begin_layer(i)
