@@ -1,0 +1,136 @@
+"""Pallas TPU SpMM kernel: blocked one-hot MXU contraction.
+
+For each edge chunk (all edges inside one (row-window, col-tile) block of
+the adjacency, see `format.BlockedCOO`):
+
+    C[e, j]  = 1 if cols[e] == j else 0        (BE, T)  gather one-hot
+    G        = (C @ X_tile) * vals[:, None]    (BE, F)  gathered+scaled rows
+    S[i, e]  = 1 if rows[e] == i else 0        (W, BE)  scatter one-hot
+    out_w   += S @ G                           (W, F)
+
+Both contractions run on the MXU; the one-hots are built on the VPU with
+broadcasted iota compares.  Chunks are ordered window-major so `out_w`
+lives in VMEM across all chunks of a window (revisited output block) and
+is written to HBM once per window.
+
+Measured on TPU v5e (remote): ~14 ns/edge for the scatter contraction at
+W=256/BE=1024 fp32 — competitive with the XLA segment-sum path only when
+the blocked layout's fill factor is high (small or locality-reordered
+graphs).  The default SpMM implementation therefore remains
+`spmm_segment`; select this kernel via `set_spmm_impl("pallas")` or call
+it directly.  `tpu.dynamic_gather` fails to compile on this stack, which
+rules out the cheaper VMEM-gather formulation; revisit when Mosaic grows
+gather/scatter support.
+
+No reference counterpart (the reference's only kernel is
+tf.sparse.sparse_dense_matmul, SURVEY §2.4); parity is behavioral: output
+allclose vs the segment-sum SpMM.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...graph.coo import Graph
+from .format import BlockedCOO, block_coo
+
+try:  # pallas import kept lazy-safe for environments without TPU lowering
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    _PALLAS_OK = True
+except Exception:  # pragma: no cover
+    _PALLAS_OK = False
+
+
+def _kernel(cw_ref, ct_ref, rows_ref, cols_ref, vals_ref, x_ref, out_ref,
+            *, W, T, BE, F, compute_dtype):
+    c = pl.program_id(0)
+
+    # first chunk of a window zero-initialises the resident output block
+    is_first = c == 0
+    prev_w = cw_ref[jnp.maximum(c, 1) - 1]
+    new_window = jnp.logical_or(is_first, cw_ref[c] != prev_w)
+
+    @pl.when(new_window)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    cols = cols_ref[:]
+    rows = rows_ref[:]
+    vals = vals_ref[:]
+
+    # gather one-hot: (BE, T) @ (T, F)
+    iota_t = jax.lax.broadcasted_iota(jnp.int32, (BE, T), 1)
+    C = (iota_t == cols[:, None]).astype(compute_dtype)
+    G = jnp.dot(C, x_ref[:].astype(compute_dtype),
+                preferred_element_type=jnp.float32)
+    G = G * vals[:, None]
+
+    # scatter one-hot: (W, BE) @ (BE, F)
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (W, BE), 0)
+    S = (rows[None, :] == iota_w).astype(compute_dtype)
+    out_ref[:] += jnp.dot(S, G.astype(compute_dtype),
+                          preferred_element_type=jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("interpret", "bf16"))
+def _spmm_blocked(blocked: BlockedCOO, x: jax.Array, interpret: bool = False,
+                  bf16: bool = False) -> jax.Array:
+    W, T, BE = blocked.window, blocked.tile, blocked.block_edges
+    F = x.shape[-1]
+    n_chunks = blocked.n_chunks
+    np_pad = blocked.n_windows * W
+    x_pad = jnp.zeros((blocked.n_tiles * T, F), x.dtype)
+    x_pad = x_pad.at[: x.shape[0]].set(x)
+    compute_dtype = jnp.bfloat16 if bf16 else jnp.float32
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # chunk_window, chunk_tile
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((BE,), lambda c, cw, ct: (c,)),
+            pl.BlockSpec((BE,), lambda c, cw, ct: (c,)),
+            pl.BlockSpec((BE,), lambda c, cw, ct: (c,)),
+            pl.BlockSpec((T, F), lambda c, cw, ct: (ct[c], 0)),
+        ],
+        out_specs=pl.BlockSpec((W, F), lambda c, cw, ct: (cw[c], 0)),
+    )
+    out = pl.pallas_call(
+        partial(_kernel, W=W, T=T, BE=BE, F=F, compute_dtype=compute_dtype),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((np_pad, F), jnp.float32),
+        interpret=interpret,
+    )(blocked.chunk_window, blocked.chunk_tile,
+      blocked.rows, blocked.cols, blocked.vals, x_pad)
+    return out[: blocked.n_nodes].astype(x.dtype)
+
+
+_BLOCK_CACHE: dict = {}
+
+
+def spmm_pallas(graph: Graph, x: jax.Array, *, interpret: bool | None = None,
+                bf16: bool = False, window: int = 512, tile: int = 512,
+                block_edges: int = 512) -> jax.Array:
+    """SpMM via the blocked one-hot Pallas kernel.
+
+    The blocked layout is built host-side once per (graph, blocking) and
+    memoized on id(graph.row) — rebuild-free inside training loops where
+    the graph is static.  Under non-TPU backends defaults to interpret
+    mode so tests exercise the same kernel code path on CPU (SURVEY §4d).
+    """
+    if not _PALLAS_OK:
+        raise RuntimeError("pallas unavailable in this environment")
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    key = (id(graph.row), window, tile, block_edges)
+    blocked = _BLOCK_CACHE.get(key)
+    if blocked is None:
+        blocked = block_coo(
+            np.asarray(graph.row), np.asarray(graph.col),
+            np.asarray(graph.val), graph.n_nodes,
+            window=window, tile=tile, block_edges=block_edges)
+        _BLOCK_CACHE[key] = blocked
+    return _spmm_blocked(blocked, x, interpret=interpret, bf16=bf16)
