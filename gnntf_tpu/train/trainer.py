@@ -98,12 +98,16 @@ class Trainable(Network):
               verbose: bool = False, epochs: int = 2000,
               degradation: Callable[[int], float] = lambda epoch: 1,
               batches: int = 1, optimizer=None, seed: Optional[int] = None,
-              block_epochs: int = 1, callbacks=()):
+              block_epochs: int = 1, callbacks=(),
+              checkpoint_dir: Optional[str] = None,
+              checkpoint_every: int = 25, resume: bool = False):
         return fit(self, train, valid=valid, test=test, patience=patience,
                    learning_rate=learning_rate, regularization=regularization,
                    verbose=verbose, epochs=epochs, degradation=degradation,
                    batches=batches, optimizer=optimizer, seed=seed,
-                   block_epochs=block_epochs, callbacks=callbacks)
+                   block_epochs=block_epochs, callbacks=callbacks,
+                   checkpoint_dir=checkpoint_dir,
+                   checkpoint_every=checkpoint_every, resume=resume)
 
 
 def _total_loss(model: Trainable, task: Predictor, params: Params, features,
@@ -122,9 +126,17 @@ def fit(model: Trainable, train: Predictor, valid: Optional[Predictor] = None,
         verbose: bool = False, epochs: int = 2000,
         degradation: Callable[[int], float] = lambda epoch: 1,
         batches: int = 1, optimizer=None, seed: Optional[int] = None,
-        block_epochs: int = 1, callbacks=()):
+        block_epochs: int = 1, callbacks=(),
+        checkpoint_dir: Optional[str] = None, checkpoint_every: int = 25,
+        resume: bool = False):
     """Train ``model`` in place; leaves best-validation params on
-    ``model.params`` and returns a history dict."""
+    ``model.params`` and returns a history dict.
+
+    With ``checkpoint_dir`` the full early-stopping state (params,
+    optimizer state, best params, epoch/patience/best-loss) is persisted
+    every ``checkpoint_every`` epochs; ``resume=True`` continues from the
+    latest checkpoint with identical semantics (SURVEY §5.3-5.4 — the
+    reference keeps this state only in memory, trainable.py:61,97)."""
     model.reset(seed)
     params = model.params
     tx = optimizer if optimizer is not None else keras_adam(learning_rate)
@@ -165,8 +177,36 @@ def fit(model: Trainable, train: Predictor, valid: Optional[Predictor] = None,
     history = {"train_loss": [], "valid_loss": [], "epochs_run": 0,
                "best_epoch": -1}
 
+    start_epoch = 0
+    if checkpoint_dir and resume:
+        from ..utils.checkpoint import restore_checkpoint
+        restored = restore_checkpoint(checkpoint_dir,
+                                      params_template=params,
+                                      opt_template=opt_state)
+        if restored is not None:
+            step, state = restored
+            params = state["params"]
+            if state["opt_state"] is not None:
+                opt_state = state["opt_state"]
+            if state["best_params"] is not None:
+                best_params = state["best_params"]
+            meta = state["meta"]
+            start_epoch = int(meta.get("epoch", step)) + 1
+            min_loss = float(meta.get("min_loss", min_loss))
+            patience_remaining = int(meta.get("patience_remaining", patience))
+            history["best_epoch"] = int(meta.get("best_epoch", -1))
+
+    def save_ckpt(epoch):
+        from ..utils.checkpoint import save_checkpoint
+        save_checkpoint(
+            checkpoint_dir, epoch, params=params, opt_state=opt_state,
+            best_params=best_params,
+            meta={"epoch": epoch, "min_loss": min_loss,
+                  "patience_remaining": patience_remaining,
+                  "best_epoch": history["best_epoch"]})
+
     stop = False
-    epoch = 0
+    epoch = start_epoch
     while epoch < epochs and not stop:
         epoch_loss = 0.0
         deg = jnp.asarray(float(degradation(epoch)), jnp.float32)
@@ -205,10 +245,15 @@ def fit(model: Trainable, train: Predictor, valid: Optional[Predictor] = None,
             stop = bool(cb(epoch=epoch, params=params, valid_loss=valid_loss,
                            best_loss=min_loss,
                            patience_remaining=patience_remaining)) or stop
+        if checkpoint_dir and checkpoint_every and \
+                (epoch + 1) % checkpoint_every == 0:
+            save_ckpt(epoch)
         if patience_remaining == 0:
             break
         epoch += 1
 
+    if checkpoint_dir:
+        save_ckpt(min(epoch, epochs - 1))
     model.params = best_params  # restore best snapshot (trainable.py:101-102)
     model._act_cache = None
     history["epochs_run"] = epoch + 1

@@ -1,0 +1,136 @@
+"""Aux subsystems: checkpoint/resume, structured logging, profiling,
+config dataclasses (SURVEY §5)."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+import gnntf_tpu as gt
+from gnntf_tpu.config import (APPNPConfig, GCNConfig, GCNIIConfig,
+                              TrainConfig, from_flags, to_json)
+from gnntf_tpu.utils import (StepTimer, TrainLogger, latest_step,
+                             restore_checkpoint, save_checkpoint)
+
+
+@pytest.fixture(scope="module")
+def tiny(request):
+    from gnntf_tpu.data import synthetic_planetoid
+    G, labels, features, train, valid, test = synthetic_planetoid(
+        n_nodes=120, n_classes=3, n_features=16, avg_degree=5.0, seed=1,
+        train_per_class=8, n_valid=30)
+    return G, labels, features, train, valid, test
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    import jax.numpy as jnp
+    params = {"w": jnp.arange(6.0).reshape(2, 3), "b": jnp.zeros((3,))}
+    opt = ({"mu": {"w": jnp.ones((2, 3)), "b": jnp.zeros((3,))}},
+           jnp.asarray(7))
+    save_checkpoint(str(tmp_path), 3, params=params, opt_state=opt,
+                    meta={"min_loss": 1.25, "epoch": 3})
+    assert latest_step(str(tmp_path)) == 3
+    step, state = restore_checkpoint(str(tmp_path), params_template=params,
+                                     opt_template=opt)
+    assert step == 3
+    np.testing.assert_array_equal(np.asarray(state["params"]["w"]),
+                                  np.arange(6.0).reshape(2, 3))
+    assert state["meta"]["min_loss"] == 1.25
+    np.testing.assert_array_equal(np.asarray(state["opt_state"][1]), 7)
+
+
+def test_checkpoint_prune(tmp_path):
+    params = {"w": np.zeros((2,))}
+    for s in range(6):
+        save_checkpoint(str(tmp_path), s, params=params, keep=2)
+    from gnntf_tpu.utils import all_steps
+    assert all_steps(str(tmp_path)) == [4, 5]
+
+
+def test_fit_resume_matches_uninterrupted(tiny, tmp_path):
+    G, labels, features, train, valid, _ = tiny
+    adj = gt.graph2adj(G)
+
+    def make():
+        return gt.MLP(features, num_classes=3)
+
+    t_task = gt.NodeClassification(train, labels[train])
+    v_task = gt.NodeClassification(valid, labels[valid])
+
+    # uninterrupted run
+    m1 = make()
+    m1.train(train=t_task, valid=v_task, epochs=12, patience=50, seed=4)
+    ref = np.asarray(m1.predict(gt.NodeClassification(valid)))
+
+    # interrupted at epoch 6, resumed to 12
+    ckdir = str(tmp_path / "ck")
+    m2 = make()
+    m2.train(train=t_task, valid=v_task, epochs=6, patience=50, seed=4,
+             checkpoint_dir=ckdir, checkpoint_every=3)
+    m3 = make()
+    m3.train(train=t_task, valid=v_task, epochs=12, patience=50, seed=4,
+             checkpoint_dir=ckdir, checkpoint_every=3, resume=True)
+    out = np.asarray(m3.predict(gt.NodeClassification(valid)))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_train_logger(tmp_path, tiny):
+    G, labels, features, train, valid, _ = tiny
+    path = str(tmp_path / "log.jsonl")
+    m = gt.MLP(features, num_classes=3)
+    with TrainLogger(jsonl_path=path) as logger:
+        m.train(train=gt.NodeClassification(train, labels[train]),
+                epochs=4, patience=10, seed=0, callbacks=[logger])
+    assert len(logger.records) == 4
+    lines = [json.loads(l) for l in open(path)]
+    assert [r["epoch"] for r in lines] == [0, 1, 2, 3]
+    assert all("valid_loss" in r and "ts" in r for r in lines)
+
+
+def test_step_timer():
+    import jax.numpy as jnp
+    t = StepTimer(warmup=1)
+    for _ in range(4):
+        t.start()
+        x = jnp.ones((8, 8)) * 2
+        t.stop(x)
+    s = t.summary()
+    assert s["steps"] == 3
+    assert s["mean_s"] > 0
+
+
+def test_roofline():
+    from gnntf_tpu.utils import roofline
+    r = roofline(edges=1000_000, features=128, seconds=0.001)
+    assert 0 < r["achieved_fraction"] < 1
+    assert r["edges_per_s"] == pytest.approx(1e9)
+
+
+def test_configs_build_and_flags(tiny):
+    import argparse
+    G, labels, features, *_ = tiny
+    adj = gt.graph2adj(G)
+    for cls in (APPNPConfig, GCNConfig, GCNIIConfig):
+        cfg = cls()
+        model = cfg.build(adj, features, num_classes=3)
+        params = model.init(0)
+        out = model.apply(params, model.features)
+        assert out.shape == (features.shape[0], 3)
+        json.loads(to_json(cfg))
+
+    parser = argparse.ArgumentParser()
+    from gnntf_tpu.config import add_flags
+    add_flags(parser, TrainConfig)
+    ns = parser.parse_args(["--patience", "7", "--learning-rate", "0.2"])
+    cfg = from_flags(TrainConfig, ns)
+    assert cfg.patience == 7 and cfg.learning_rate == 0.2
+    assert cfg.epochs == 2000  # untouched default
+
+
+def test_appnp_config_defaults_match_reference():
+    cfg = APPNPConfig()
+    assert (cfg.alpha, cfg.iterations, cfg.dropout, cfg.graph_dropout) == \
+        (0.1, 10, 0.6, 0.5)
+    t = TrainConfig()
+    assert (t.patience, t.learning_rate, t.regularization, t.epochs,
+            t.batches) == (100, 0.01, 5e-4, 2000, 1)
