@@ -94,7 +94,15 @@ def from_edges(
         col = np.concatenate([dst, src])
         values = np.concatenate([values, values])
     if sort:
-        order = np.lexsort((col, row))
+        order = None
+        if row.shape[0] >= 100_000:  # native radix sort pays off at scale
+            try:
+                from ..utils.native import lexsort_edges
+                order = lexsort_edges(row, col)
+            except Exception:
+                order = None
+        if order is None:
+            order = np.lexsort((col, row))
         row, col, values = row[order], col[order], values[order]
     return Graph(
         row=jnp.asarray(row, jnp.int32),
