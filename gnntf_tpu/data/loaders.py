@@ -233,3 +233,73 @@ def enrich_features(features, positional: bool = True, labels=None,
                     float(val) / norm
         features = np.concatenate((features, positional_features), axis=1)
     return features
+
+
+def tpl_setup(app_csv=None, library_csv=None, min_df: int = 3,
+              min_out_degree: int = 10, n_apps: int = 200,
+              n_libraries: int = 120, seed: int = 0):
+    """Android app<->library bipartite graph from CSVs with bag-of-words
+    features (reference experiment_setup.py:70-122: min-df 3 token filter,
+    app out-degree >= 10 filter).  Without CSV paths, synthesizes an
+    equivalent bipartite graph with planted app communities so demos and
+    tests run in egress-free environments.
+
+    Returns ``(nx.DiGraph, app_ids, library_ids, features)`` with apps
+    numbered first (the layout ``Structural(bipartite=len(apps))`` expects,
+    reference demos/development/library_recommendation.py:46-48).
+    """
+    import networkx as nx
+
+    if app_csv is not None:
+        import csv
+
+        usage = {}
+        tokens = {}
+        with open(app_csv) as f:
+            for row in csv.reader(f):
+                app, libs, words = row[0], row[1].split(";"), row[2].split()
+                usage[app] = [l for l in libs if l]
+                tokens[app] = words
+        usage = {a: ls for a, ls in usage.items()
+                 if len(ls) >= min_out_degree}
+        df = {}
+        for words in tokens.values():
+            for w in set(words):
+                df[w] = df.get(w, 0) + 1
+        vocab = sorted(w for w, c in df.items() if c >= min_df)
+        apps = sorted(usage)
+        libraries = sorted({l for ls in usage.values() for l in ls})
+        app_id = {a: i for i, a in enumerate(apps)}
+        lib_id = {l: len(apps) + i for i, l in enumerate(libraries)}
+        G = nx.DiGraph()
+        G.add_nodes_from(range(len(apps) + len(libraries)))
+        for a, ls in usage.items():
+            for l in ls:
+                G.add_edge(app_id[a], lib_id[l])
+        widx = {w: i for i, w in enumerate(vocab)}
+        features = np.zeros((len(apps) + len(libraries), len(vocab)),
+                            np.float32)
+        for a in apps:
+            for w in tokens[a]:
+                if w in widx:
+                    features[app_id[a], widx[w]] = 1.0
+        return G, list(range(len(apps))), \
+            list(range(len(apps), len(apps) + len(libraries))), features
+
+    # synthetic stand-in: apps pick libraries from their community's pool
+    rng = np.random.RandomState(seed)
+    n_comm = 6
+    G = nx.DiGraph()
+    G.add_nodes_from(range(n_apps + n_libraries))
+    lib_comm = rng.randint(0, n_comm, n_libraries)
+    for a in range(n_apps):
+        comm = a % n_comm
+        pool = n_apps + np.flatnonzero(lib_comm == comm)
+        other = n_apps + np.arange(n_libraries)
+        picks = set(rng.choice(pool, size=min(8, len(pool)), replace=False))
+        picks |= set(rng.choice(other, size=3, replace=False))
+        for l in picks:
+            G.add_edge(a, int(l))
+    features = np.zeros((n_apps + n_libraries, 0), np.float32)
+    return G, list(range(n_apps)), \
+        list(range(n_apps, n_apps + n_libraries)), features
