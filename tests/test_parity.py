@@ -1,0 +1,192 @@
+"""Golden-parity tests vs the actual TF reference implementation
+(BASELINE north star: per-layer activation allclose; SURVEY §4b).
+
+The reference library at /root/reference is imported directly, its
+variables are initialised by its own ``reset()``, copied into our param
+pytree (both frameworks register parameters in identical creation order),
+and dropout-free forwards/losses are compared.
+"""
+import sys
+
+import numpy as np
+import pytest
+
+REF_PATH = "/root/reference"
+
+
+def _load_reference():
+    if REF_PATH not in sys.path:
+        sys.path.insert(0, REF_PATH)
+    import warnings
+    warnings.filterwarnings("ignore")
+    try:
+        import tensorflow as tf  # noqa: F401
+        import gnntf as ref
+        return ref
+    except Exception:  # pragma: no cover
+        return None
+
+
+ref = _load_reference()
+requires_ref = pytest.mark.skipif(ref is None,
+                                  reason="TF reference unavailable")
+
+
+@pytest.fixture(scope="module")
+def tiny_graph():
+    import networkx as nx
+    G = nx.gnm_random_graph(40, 120, seed=1, directed=False)
+    feats = np.random.RandomState(0).rand(40, 8).astype(np.float32)
+    return G, feats
+
+
+def _ref_vars(model):
+    """The reference's ordered WrappedVariable list (variables.py:48-67)."""
+    return model._VariableGenerator__vars
+
+
+def _copy_ref_params(ref_model, our_model):
+    """Copy reference variable values into our param pytree by creation
+    order (both builders register params in the same sequence)."""
+    rvars = [np.asarray(v.var.numpy()) for v in _ref_vars(ref_model)]
+    specs = our_model.param_specs
+    assert len(rvars) == len(specs), (
+        f"param count mismatch: ref {len(rvars)} vs ours "
+        f"{[s.name for s in specs]}")
+    params = {}
+    import jax.numpy as jnp
+    for spec, rv in zip(specs, rvars):
+        assert tuple(spec.shape) == rv.shape, \
+            f"{spec.name}: {spec.shape} vs {rv.shape}"
+        params[spec.name] = jnp.asarray(rv)
+    return params
+
+
+def _parity_case(ref_builder, our_builder, tiny_graph, atol=2e-5):
+    import tensorflow as tf
+    import gnntf_tpu as gt
+
+    G, feats = tiny_graph
+    ref_model = ref_builder(ref.graph2adj(G), tf.constant(feats))
+    ref_model.reset()
+    # a fresh reference model starts with training_mode=True
+    # (layered.py:9) — switch dropout off for the clean comparison
+    ref_model.training_mode(False)
+    ref_out = np.asarray(ref_model(tf.constant(feats)))
+
+    our_model = our_builder(gt.graph2adj(G), feats)
+    params = _copy_ref_params(ref_model, our_model)
+    our_out = np.asarray(our_model.apply(params, our_model.features,
+                                         training=False))
+    scale = np.abs(ref_out).max() + 1e-9
+    np.testing.assert_allclose(our_out, ref_out, atol=atol * scale, rtol=2e-5)
+    return ref_model, our_model, params, ref_out
+
+
+@requires_ref
+def test_appnp_forward_parity(tiny_graph):
+    import gnntf_tpu as gt
+    _parity_case(lambda a, f: ref.APPNP(a, f, num_classes=3),
+                 lambda a, f: gt.APPNP(a, f, num_classes=3), tiny_graph)
+
+
+@requires_ref
+def test_gcn_forward_parity(tiny_graph):
+    import gnntf_tpu as gt
+    _parity_case(lambda a, f: ref.GCN(a, f, num_classes=3),
+                 lambda a, f: gt.GCN(a, f, num_classes=3), tiny_graph)
+
+
+@requires_ref
+def test_gcnii_forward_parity(tiny_graph):
+    import gnntf_tpu as gt
+    _parity_case(lambda a, f: ref.GCNII(a, f, num_classes=3, iterations=8),
+                 lambda a, f: gt.GCNII(a, f, num_classes=3, iterations=8),
+                 tiny_graph)
+
+
+@requires_ref
+def test_mlp_forward_parity(tiny_graph):
+    import tensorflow as tf
+    import gnntf_tpu as gt
+    _, feats = tiny_graph
+    ref_model = ref.MLP(tf.constant(feats), num_classes=3)
+    ref_model.reset()
+    ref_model.training_mode(False)
+    ref_out = np.asarray(ref_model(tf.constant(feats)))
+    our_model = gt.MLP(feats, num_classes=3)
+    params = _copy_ref_params(ref_model, our_model)
+    our_out = np.asarray(our_model.apply(params, our_model.features,
+                                         training=False))
+    np.testing.assert_allclose(our_out, ref_out, atol=1e-5, rtol=2e-5)
+
+
+@requires_ref
+def test_node_classification_loss_parity(tiny_graph):
+    """The exact log_softmax + softmax-CE composition
+    (reference graph_predictor.py:24-25)."""
+    import tensorflow as tf
+    import gnntf_tpu as gt
+
+    G, feats = tiny_graph
+    rng = np.random.RandomState(3)
+    nodes = rng.choice(40, 15, replace=False)
+    labels = rng.randint(0, 3, 15)
+
+    ref_model, our_model, params, ref_out = _parity_case(
+        lambda a, f: ref.APPNP(a, f, num_classes=3),
+        lambda a, f: gt.APPNP(a, f, num_classes=3), tiny_graph)
+
+    ref_task = ref.NodeClassification(np.asarray(nodes), np.asarray(labels))
+    ref_loss = float(ref_task.loss(tf.constant(ref_out)))
+
+    our_task = gt.NodeClassification(nodes, labels)
+    acts = our_model.apply(params, our_model.features, training=False)
+    our_loss = float(our_task.loss(acts, our_task.batch(), params=params))
+    assert our_loss == pytest.approx(ref_loss, rel=1e-5)
+
+
+@requires_ref
+def test_normalization_parity(tiny_graph):
+    """D^-1/2 A D^-1/2 entries equal the reference's get_adjacency output
+    with dropout off (reference gnn.py:36-50)."""
+    import tensorflow as tf
+    import gnntf_tpu as gt
+    from gnntf_tpu.ops import normalize_adjacency
+
+    G, feats = tiny_graph
+    ref_model = ref.GNN(ref.graph2adj(G), tf.constant(feats))
+    ref_adj = ref_model.get_adjacency(graph_dropout=0)  # SparseTensor
+    ref_dense = np.asarray(tf.sparse.to_dense(tf.sparse.reorder(ref_adj)))
+
+    ours = normalize_adjacency(gt.graph2adj(G), graph_dropout=0.0)
+    our_dense = np.asarray(ours.to_dense())
+    np.testing.assert_allclose(our_dense, ref_dense, atol=1e-6)
+
+
+@requires_ref
+def test_link_prediction_loss_parity(tiny_graph):
+    import tensorflow as tf
+    import gnntf_tpu as gt
+
+    G, feats = tiny_graph
+    rng = np.random.RandomState(5)
+    edges = np.stack([rng.randint(0, 40, 20), rng.randint(0, 40, 20)], 1)
+    labels = (np.arange(20) % 2 == 0).astype(np.float32)
+
+    acts = rng.rand(40, 6).astype(np.float32)
+    ref_task = ref.LinkPrediction(edges.tolist(), labels.tolist(),
+                                  loss="bce")
+    ref_loss = float(ref_task.loss(tf.constant(acts)))
+    our_task = gt.LinkPrediction(edges, labels, loss="bce")
+    our_loss = float(our_task.loss(np.asarray(acts), our_task.batch()))
+    assert our_loss == pytest.approx(ref_loss, rel=1e-5)
+
+    # BPR ("diff") with interleaved pos/neg rows
+    inter = np.stack([rng.randint(0, 40, 16), rng.randint(0, 40, 16)], 1)
+    lab = np.tile([1.0, 0.0], 8)
+    ref_task = ref.LinkPrediction(inter.tolist(), lab.tolist(), loss="diff")
+    ref_loss = float(ref_task.loss(tf.constant(acts)))
+    our_task = gt.LinkPrediction(inter, lab, loss="diff")
+    our_loss = float(our_task.loss(np.asarray(acts), our_task.batch()))
+    assert our_loss == pytest.approx(ref_loss, rel=1e-5)
