@@ -23,6 +23,12 @@ class Predictor:
     def refresh(self) -> None:
         """Host-side per-use resampling hook (e.g. negative sampling)."""
 
+    @property
+    def static(self) -> bool:
+        """True when ``batch()`` is identical across epochs — enables the
+        fused multi-epoch on-device training path (fit(block_epochs=N))."""
+        return True
+
     def batch(self) -> Any:
         """Fixed-shape pytree of device arrays consumed by loss/predict."""
         return ()

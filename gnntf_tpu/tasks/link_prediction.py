@@ -148,6 +148,11 @@ class LinkPrediction(Predictor):
         self.regularize = regularize
         self._batch_idx = None
 
+    @property
+    def static(self) -> bool:
+        return self.edge_sampler is None and \
+            self.batch_size >= self.edges.shape[0]
+
     # -- host-side state ----------------------------------------------------
     def refresh(self):
         if self.edge_sampler is not None:

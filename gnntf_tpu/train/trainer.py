@@ -36,6 +36,7 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from .. import measures
@@ -205,6 +206,18 @@ def fit(model: Trainable, train: Predictor, valid: Optional[Predictor] = None,
                   "patience_remaining": patience_remaining,
                   "best_epoch": history["best_epoch"]})
 
+    use_fused = (block_epochs > 1 and batches == 1 and not verbose
+                 and train.static and valid.static)
+    if use_fused:
+        return _fit_fused(
+            model, train, valid, train_step, eval_acts, params, opt_state,
+            base_rng, patience=patience, epochs=epochs,
+            degradation=degradation, block_epochs=block_epochs,
+            callbacks=callbacks, checkpoint_dir=checkpoint_dir,
+            checkpoint_every=checkpoint_every, start_epoch=start_epoch,
+            min_loss=min_loss, patience_remaining=patience_remaining,
+            best_params=best_params, history=history)
+
     stop = False
     epoch = start_epoch
     while epoch < epochs and not stop:
@@ -259,4 +272,103 @@ def fit(model: Trainable, train: Predictor, valid: Optional[Predictor] = None,
     history["epochs_run"] = epoch + 1
     if verbose:
         print("\r")
+    return history
+
+
+def _tree_where(cond, a, b):
+    return jax.tree_util.tree_map(
+        lambda x, y: jnp.where(cond, x, y), a, b)
+
+
+def _fit_fused(model, train, valid, train_step, eval_acts, params, opt_state,
+               base_rng, *, patience, epochs, degradation, block_epochs,
+               callbacks, checkpoint_dir, checkpoint_every, start_epoch,
+               min_loss, patience_remaining, best_params, history):
+    """Fused multi-epoch path: ``block_epochs`` full epochs (train step +
+    clean validation + best-params/patience tracking) run inside ONE jitted
+    ``lax.scan`` — identical early-stopping semantics to the host loop
+    (a ``stopped`` flag gates all state updates past the patience
+    exhaustion point, so trailing epochs of the final block cannot leak
+    into the result), at 1/block_epochs the dispatch cost.  Used for
+    static-batch tasks; samplers and verbose mode take the host loop."""
+    train.refresh()
+    tb = train.batch()
+    valid.refresh()
+    vb = valid.batch()
+
+    valid_loss_fn = lambda acts, params: valid.loss(acts, vb, params=params)
+
+    @jax.jit
+    def run_block(params, opt_state, best_params, min_loss, patience_rem,
+                  stopped, rngs, degs):
+        def body(carry, inp):
+            params, opt_state, best_params, min_loss, patience_rem, stopped \
+                = carry
+            rng, deg = inp
+            new_params, new_opt, loss = train_step(params, opt_state, rng,
+                                                   deg, tb)
+            params = _tree_where(stopped, params, new_params)
+            opt_state = _tree_where(stopped, opt_state, new_opt)
+            acts = eval_acts(params)
+            vloss = valid_loss_fn(acts, params)
+            pat = jnp.where(stopped, patience_rem, patience_rem - 1)
+            improved = jnp.logical_and(vloss < min_loss,
+                                       jnp.logical_not(stopped))
+            best_params = _tree_where(improved, params, best_params)
+            min_loss = jnp.where(improved, vloss, min_loss)
+            pat = jnp.where(improved, patience, pat)
+            stopped = jnp.logical_or(stopped, pat <= 0)
+            return (params, opt_state, best_params, min_loss, pat,
+                    stopped), (loss, vloss, improved)
+
+        carry = (params, opt_state, best_params, min_loss, patience_rem,
+                 stopped)
+        carry, outs = jax.lax.scan(body, carry, (rngs, degs))
+        return carry, outs
+
+    min_loss = jnp.asarray(min_loss, jnp.float32)
+    patience_rem = jnp.asarray(patience_remaining, jnp.int32)
+    stopped = jnp.asarray(False)
+    epoch = start_epoch
+    while epoch < epochs:
+        n = min(block_epochs, epochs - epoch)
+        rngs = jnp.stack([jax.random.fold_in(base_rng, e)
+                          for e in range(epoch, epoch + n)])
+        degs = jnp.asarray([float(degradation(e))
+                            for e in range(epoch, epoch + n)], jnp.float32)
+        (params, opt_state, best_params, min_loss, patience_rem, stopped), \
+            (losses, vlosses, improveds) = run_block(
+                params, opt_state, best_params, min_loss, patience_rem,
+                stopped, rngs, degs)
+        losses = np.asarray(losses)
+        vlosses = np.asarray(vlosses)
+        improveds = np.asarray(improveds)
+        history["train_loss"].extend(losses.tolist())
+        history["valid_loss"].extend(vlosses.tolist())
+        for i in range(n):
+            if improveds[i]:
+                history["best_epoch"] = epoch + i
+        best_seen = float("inf")
+        for cb in callbacks:
+            for i in range(n):
+                best_seen = min(best_seen, vlosses[i])
+                cb(epoch=epoch + i, params=params,
+                   valid_loss=float(vlosses[i]),
+                   best_loss=min(best_seen, float(min_loss)),
+                   patience_remaining=-1)
+        epoch += n
+        if checkpoint_dir and checkpoint_every:
+            from ..utils.checkpoint import save_checkpoint
+            save_checkpoint(
+                checkpoint_dir, epoch - 1, params=params,
+                opt_state=opt_state, best_params=best_params,
+                meta={"epoch": epoch - 1, "min_loss": float(min_loss),
+                      "patience_remaining": int(patience_rem),
+                      "best_epoch": history["best_epoch"]})
+        if bool(stopped):
+            break
+
+    model.params = best_params
+    model._act_cache = None
+    history["epochs_run"] = epoch
     return history

@@ -103,3 +103,51 @@ def test_callbacks_can_stop(setup):
     hist = model.train(train=tr, patience=50, epochs=100, seed=0,
                        callbacks=[lambda **kw: kw["epoch"] >= 4])
     assert len(hist["train_loss"]) <= 6
+
+
+def test_block_epochs_matches_host_loop(small_dataset):
+    """The fused lax.scan path must reproduce the host loop exactly:
+    same best params (identical predictions), same early-stop epoch."""
+    import gnntf_tpu as gt
+
+    G, labels, features, train, valid, test = small_dataset
+    adj = gt.graph2adj(G)
+
+    def run(block_epochs):
+        gt.set_seed(0)
+        m = gt.APPNP(adj, features, num_classes=len(set(labels)),
+                     iterations=3)
+        h = m.train(train=gt.NodeClassification(train, labels[train]),
+                    valid=gt.NodeClassification(valid, labels[valid]),
+                    epochs=30, patience=5, seed=11,
+                    block_epochs=block_epochs)
+        import numpy as np
+        return np.asarray(m.predict(gt.NodeClassification(test))), h
+
+    pred_host, h_host = run(1)
+    pred_fused, h_fused = run(8)
+    np.testing.assert_array_equal(pred_host, pred_fused)
+    np.testing.assert_allclose(h_host["valid_loss"],
+                               h_fused["valid_loss"][:len(h_host["valid_loss"])],
+                               rtol=2e-5)
+    assert h_host["best_epoch"] == h_fused["best_epoch"]
+
+
+def test_block_epochs_patience_gating(small_dataset):
+    """Epochs after patience exhaustion inside a block must not affect the
+    returned best params."""
+    import gnntf_tpu as gt
+
+    G, labels, features, train, valid, test = small_dataset
+    adj = gt.graph2adj(G)
+
+    def run(block_epochs):
+        gt.set_seed(0)
+        m = gt.MLP(features, num_classes=len(set(labels)))
+        m.train(train=gt.NodeClassification(train, labels[train]),
+                valid=gt.NodeClassification(valid, labels[valid]),
+                epochs=40, patience=2, seed=3, block_epochs=block_epochs)
+        import numpy as np
+        return np.asarray(m.predict(gt.NodeClassification(test)))
+
+    np.testing.assert_array_equal(run(1), run(40))
