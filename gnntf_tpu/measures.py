@@ -77,3 +77,21 @@ def f1(labels, predictions, k: int = 5):
     if precision + recall == 0:
         return 0
     return 2 * precision * recall / (precision + recall)
+
+
+def bootstrap_ci(values, confidence: float = 0.95, n_boot: int = 10000,
+                 seed: int = 0):
+    """Bootstrap confidence interval over repeated-experiment results
+    (the reference's experiment methodology, test_experiments.py:8-22:
+    N repeats with set_seed(i), then a bootstrap CI of the mean).
+
+    Returns ``(mean, low, high)``.
+    """
+    values = np.asarray(values, np.float64)
+    rng = np.random.RandomState(seed)
+    idx = rng.randint(0, len(values), size=(n_boot, len(values)))
+    means = values[idx].mean(axis=1)
+    alpha = (1.0 - confidence) / 2
+    return (float(values.mean()),
+            float(np.quantile(means, alpha)),
+            float(np.quantile(means, 1 - alpha)))

@@ -81,8 +81,8 @@ jax.tree_util.register_dataclass(
 )
 
 
-def block_coo(row, col, val, n_nodes: int, *, window: int = 512,
-              tile: int = 512, block_edges: int = 512) -> BlockedCOO:
+def block_coo(row, col, val, n_nodes: int, *, window: int = 256,
+              tile: int = 256, block_edges: int = 1024) -> BlockedCOO:
     """Build the blocked layout from COO arrays (host-side, one-time).
 
     Semantics match the plain segment-sum SpMM: duplicate edges sum, edge

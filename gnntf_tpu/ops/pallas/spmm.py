@@ -112,8 +112,8 @@ _BLOCK_CACHE: dict = {}
 
 
 def spmm_pallas(graph: Graph, x: jax.Array, *, interpret: bool | None = None,
-                bf16: bool = False, window: int = 512, tile: int = 512,
-                block_edges: int = 512) -> jax.Array:
+                bf16: bool = False, window: int = 256, tile: int = 256,
+                block_edges: int = 1024) -> jax.Array:
     """SpMM via the blocked one-hot Pallas kernel.
 
     The blocked layout is built host-side once per (graph, blocking) and

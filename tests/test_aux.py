@@ -134,3 +134,12 @@ def test_appnp_config_defaults_match_reference():
     t = TrainConfig()
     assert (t.patience, t.learning_rate, t.regularization, t.epochs,
             t.batches) == (100, 0.01, 5e-4, 2000, 1)
+
+
+def test_bootstrap_ci():
+    from gnntf_tpu.measures import bootstrap_ci
+    vals = [0.8, 0.82, 0.81, 0.79, 0.83]
+    mean, low, high = bootstrap_ci(vals)
+    assert low <= mean <= high
+    assert mean == pytest.approx(np.mean(vals))
+    assert high - low < 0.05
