@@ -15,11 +15,18 @@ from .models import (APPNP, APPNP2, GAT, GCN, GCNII, MLP, NGCF, APPNPReg,
                      GCNSpectralPreservingLayer, GNN, NGCFLayer, PPRIteration,
                      PPRSweep, StableIteration, Structural)
 from .nn import (LSTM, Activation, Branch, Concatenate, Dense, Dropout,
-                 Forward, Layer, Network, Resume, Tradeoff, Wrap)
+                 Forward, Layer, Network, Resume, Tradeoff, Wrap, batches)
 from .ops import (dropout, normalize_adjacency, sddmm, segment_softmax,
                   set_spmm_impl, spmm)
 from .tasks import (LinkPrediction, MeanLinkPrediction, NodeClassification,
                     Predictor, negative_sampling, recommend_all)
 from .train import Trainable, fit, keras_adam
+
+# drop-in aliases for reference class names (layered.py / variables.py):
+# the builder Network plays both roles in the functional design
+Layered = Network
+VariableGenerator = Network
+Trainable = Trainable  # noqa: PLW0127 — re-exported from .train
+metrics = measures  # the reference exposes its measures module as `metrics`
 
 __version__ = "0.1.0"

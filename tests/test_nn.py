@@ -183,3 +183,14 @@ def test_wrap_flax_module():
     assert net.top_shape() == (5, 7)
     out = net.apply(net.init(0), jnp.ones((5, 4)))
     assert out.shape == (5, 7)
+
+
+def test_batches_generator():
+    """API-surface parity for the reference's batching util."""
+    import numpy as np
+    from gnntf_tpu.nn import batches
+
+    data = {"x": np.arange(10), "y": np.arange(10) * 2}
+    out = list(batches(data, 4))
+    assert [len(b["x"]) for b in out] == [4, 4, 2]
+    np.testing.assert_array_equal(out[1]["y"], np.arange(4, 8) * 2)
