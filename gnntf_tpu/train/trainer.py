@@ -336,6 +336,7 @@ def _fit_fused(model, train, valid, train_step, eval_acts, params, opt_state,
                           for e in range(epoch, epoch + n)])
         degs = jnp.asarray([float(degradation(e))
                             for e in range(epoch, epoch + n)], jnp.float32)
+        best_before_block = float(min_loss)
         (params, opt_state, best_params, min_loss, patience_rem, stopped), \
             (losses, vlosses, improveds) = run_block(
                 params, opt_state, best_params, min_loss, patience_rem,
@@ -348,14 +349,15 @@ def _fit_fused(model, train, valid, train_step, eval_acts, params, opt_state,
         for i in range(n):
             if improveds[i]:
                 history["best_epoch"] = epoch + i
-        best_seen = float("inf")
-        for cb in callbacks:
-            for i in range(n):
-                best_seen = min(best_seen, vlosses[i])
-                cb(epoch=epoch + i, params=params,
-                   valid_loss=float(vlosses[i]),
-                   best_loss=min(best_seen, float(min_loss)),
-                   patience_remaining=-1)
+        if callbacks:
+            running_best = np.minimum.accumulate(
+                np.minimum(vlosses, best_before_block))
+            for cb in callbacks:
+                for i in range(n):
+                    cb(epoch=epoch + i, params=params,
+                       valid_loss=float(vlosses[i]),
+                       best_loss=float(running_best[i]),
+                       patience_remaining=-1)
         epoch += n
         if checkpoint_dir and checkpoint_every:
             from ..utils.checkpoint import save_checkpoint

@@ -151,3 +151,23 @@ def test_block_epochs_patience_gating(small_dataset):
         return np.asarray(m.predict(gt.NodeClassification(test)))
 
     np.testing.assert_array_equal(run(1), run(40))
+
+
+def test_block_epochs_callback_best_loss(small_dataset):
+    """Callbacks in the fused path see the same running best_loss stream
+    as the host loop."""
+    import gnntf_tpu as gt
+    from gnntf_tpu.utils import TrainLogger
+
+    G, labels, features, train, valid, _ = small_dataset
+    def run(block_epochs):
+        gt.set_seed(0)
+        m = gt.MLP(features, num_classes=len(set(labels)))
+        log = TrainLogger()
+        m.train(train=gt.NodeClassification(train, labels[train]),
+                valid=gt.NodeClassification(valid, labels[valid]),
+                epochs=12, patience=50, seed=2, block_epochs=block_epochs,
+                callbacks=[log])
+        return [round(r["best_loss"], 5) for r in log.records]
+
+    assert run(1) == run(4)
