@@ -190,3 +190,62 @@ def test_link_prediction_loss_parity(tiny_graph):
     our_task = gt.LinkPrediction(inter, lab, loss="diff")
     our_loss = float(our_task.loss(np.asarray(acts), our_task.batch()))
     assert our_loss == pytest.approx(ref_loss, rel=1e-5)
+
+
+@requires_ref
+def test_metrics_parity():
+    """Every measure matches the reference's formula on random data
+    (reference measures.py:13-45)."""
+    import gnntf_tpu as gt
+    sys.path.insert(0, REF_PATH)
+    from gnntf import measures as ref_measures
+
+    rng = np.random.RandomState(7)
+    labels = rng.randint(0, 2, 60).astype(float)
+    preds = rng.rand(60)
+    for k in (3, 5, 10):
+        assert gt.avprec(labels, preds, k) == pytest.approx(
+            ref_measures.avprec(labels, preds, k))
+        assert gt.prec(labels, preds, k) == pytest.approx(
+            ref_measures.prec(labels, preds, k))
+        assert gt.rec(labels, preds, k) == pytest.approx(
+            ref_measures.rec(labels, preds, k))
+        assert gt.f1(labels, preds, k) == pytest.approx(
+            ref_measures.f1(labels, preds, k))
+    assert gt.auc(labels, preds) == pytest.approx(
+        ref_measures.auc(labels, preds))
+    cls_pred = rng.randint(0, 4, 60)
+    cls_lab = rng.randint(0, 4, 60)
+    assert gt.acc(cls_pred, cls_lab) == pytest.approx(
+        float(ref_measures.acc(np.asarray(cls_pred), np.asarray(cls_lab))))
+
+
+@requires_ref
+def test_ngcf_layer_parity(tiny_graph):
+    """Per-layer activation parity for the NGCF stack.  The reference's
+    final Concatenate is axis-buggy (layers.py:99-101, SURVEY §2.1) and is
+    deliberately fixed here, so the comparison is per NGCF layer (their
+    cached .value vs our per-layer activations)."""
+    import tensorflow as tf
+    import gnntf_tpu as gt
+
+    G, feats = tiny_graph
+    ref_model = ref.NGCF(ref.graph2adj(G), tf.constant(feats), num_classes=4)
+    ref_model.reset()
+    ref_model.training_mode(False)
+    ref_model(tf.constant(feats))  # populates each layer's .value
+
+    our_model = gt.NGCF(gt.graph2adj(G), feats, num_classes=4)
+    params = _copy_ref_params(ref_model, our_model)
+    _, fw = our_model.apply(params, our_model.features, training=False,
+                            return_ctx=True)
+
+    ref_layers = [l for l in ref_model.layers()
+                  if type(l).__name__ == "NGCFLayer"]
+    our_idx = [i for i, l in enumerate(our_model.layers())
+               if type(l).__name__ == "NGCFLayer"]
+    assert len(ref_layers) == len(our_idx) > 0
+    for rl, oi in zip(ref_layers, our_idx):
+        ref_act = np.asarray(rl.value)
+        our_act = np.asarray(fw.acts[oi])
+        np.testing.assert_allclose(our_act, ref_act, atol=2e-5, rtol=2e-4)
