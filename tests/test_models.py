@@ -154,3 +154,49 @@ def test_pprsweep_and_fastreg(data):
                           return_ctx=True)
     assert out.shape == (200, C)
     assert len(fw.extra_losses) == 1  # FastReg contributed its -lambda loss
+
+
+def test_gat_attention_normalized(data):
+    """Each destination's incoming attention weights sum to 1 per head."""
+    import jax
+    import jax.numpy as jnp
+    from gnntf_tpu.graph.coo import add_self_loops
+    from gnntf_tpu.ops.segment import segment_softmax
+
+    g = add_self_loops(data["adj"])
+    rng = np.random.RandomState(0)
+    scores = jnp.asarray(rng.randn(g.n_edges, 4), jnp.float32)
+    alpha = segment_softmax(scores, g.row, g.n_nodes)
+    sums = jax.ops.segment_sum(alpha, g.row, num_segments=g.n_nodes)
+    # self-loops guarantee every node has >= 1 incoming edge
+    np.testing.assert_allclose(np.asarray(sums), 1.0, atol=1e-5)
+
+
+def test_gat_learns_synthetic(data):
+    import gnntf_tpu as gt
+
+    labels, features = data["labels"], data["features"]
+    train, valid, test = data["train"], data["valid"], data["test"]
+    gt.set_seed(0)
+    m = gt.GAT(data["adj"], features, num_classes=len(set(labels)),
+               heads=2, latent_dims=(8,))
+    m.train(train=gt.NodeClassification(train, labels[train]),
+            valid=gt.NodeClassification(valid, labels[valid]),
+            epochs=150, patience=30, seed=0, block_epochs=25)
+    pred = m.predict(gt.NodeClassification(test))
+    assert gt.acc(np.asarray(pred), labels[test]) > 0.7
+
+
+def test_gat_head_modes(data):
+    import gnntf_tpu as gt
+    from gnntf_tpu.models import GATLayer
+
+    m = gt.GNN(data["adj"], data["features"])
+    m.add(GATLayer(6, heads=3, concat_heads=True))
+    assert m.top_shape()[1] == 18
+    m.add(GATLayer(5, heads=4, concat_heads=False))
+    assert m.top_shape()[1] == 5
+    params = m.init(0)
+    out = m.apply(params, m.features)
+    assert out.shape == (data["features"].shape[0], 5)
+    assert np.all(np.isfinite(np.asarray(out)))
