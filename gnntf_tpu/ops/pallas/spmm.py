@@ -62,18 +62,23 @@ def _kernel(cw_ref, ct_ref, rows_ref, cols_ref, vals_ref, x_ref, out_ref,
     rows = rows_ref[:]
     vals = vals_ref[:]
 
+    # the MXU's default matmul precision truncates f32 inputs to bf16;
+    # request full precision unless bf16 compute was chosen explicitly
+    prec = None if compute_dtype == jnp.bfloat16 \
+        else jax.lax.Precision.HIGHEST
+
     # gather one-hot: (BE, T) @ (T, F)
     iota_t = jax.lax.broadcasted_iota(jnp.int32, (BE, T), 1)
     C = (iota_t == cols[:, None]).astype(compute_dtype)
     G = jnp.dot(C, x_ref[:].astype(compute_dtype),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32, precision=prec)
     G = G * vals[:, None]
 
     # scatter one-hot: (W, BE) @ (BE, F)
     iota_w = jax.lax.broadcasted_iota(jnp.int32, (W, BE), 0)
     S = (rows[None, :] == iota_w).astype(compute_dtype)
     out_ref[:] += jnp.dot(S, G.astype(compute_dtype),
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=jnp.float32, precision=prec)
 
 
 @partial(jax.jit, static_argnames=("interpret", "bf16"))
