@@ -74,6 +74,70 @@ def dgl_setup(dataset_name: str, data_dir: str = "data"):
         f"GNNTF_TPU_ALLOW_SYNTHETIC=1 for a synthetic stand-in")
 
 
+def ogb_setup(dataset_name: str = "ogbn-arxiv", data_dir: str = "data"):
+    """OGB node-property loader at array scale (BASELINE config 5 uses
+    ogbn-arxiv for the multi-host scaling benchmark).
+
+    Unlike :func:`dgl_setup` this returns the graph as a framework
+    :class:`~gnntf_tpu.graph.coo.Graph` (COO arrays) rather than a networkx
+    object — at 10^5+ nodes the Python-object graph is not a useful
+    intermediate on the TPU path.  Tuple shape otherwise matches the data
+    contract: ``(graph, labels, features, train, valid, test)``.
+
+    Fallback order: npz cache -> ``ogb`` package (if installed) ->
+    deterministic synthetic stand-in of the same scale (gated by
+    ``GNNTF_TPU_ALLOW_SYNTHETIC=1``) -> error.
+    """
+    from ..graph import from_edges
+
+    cache = os.path.join(data_dir, dataset_name.replace("-", "_") + ".npz")
+    if os.path.exists(cache):
+        z = np.load(cache)
+        graph = from_edges(z["src"], z["dst"], n_nodes=int(z["n_nodes"]),
+                           directed=False)
+        return (graph, z["labels"], z["features"],
+                z["train"].tolist(), z["valid"].tolist(), z["test"].tolist())
+    try:
+        from ogb.nodeproppred import NodePropPredDataset
+        dataset = NodePropPredDataset(name=dataset_name, root=data_dir)
+        split = dataset.get_idx_split()
+        g, labels = dataset[0]
+        src, dst = g["edge_index"]
+        features = g["node_feat"].astype(np.float32)
+        labels = labels.reshape(-1).astype(np.int64)
+        os.makedirs(data_dir, exist_ok=True)
+        np.savez_compressed(
+            cache, src=src, dst=dst, n_nodes=np.int64(g["num_nodes"]),
+            labels=labels, features=features,
+            train=np.asarray(split["train"]),
+            valid=np.asarray(split["valid"]),
+            test=np.asarray(split["test"]))
+        graph = from_edges(src, dst, n_nodes=int(g["num_nodes"]),
+                           directed=False)
+        return (graph, labels, features, split["train"].tolist(),
+                split["valid"].tolist(), split["test"].tolist())
+    except ImportError:
+        pass
+    if os.environ.get("GNNTF_TPU_ALLOW_SYNTHETIC") == "1":
+        from .synthetic import random_power_law_edges
+        sizes = {"ogbn-arxiv": (169_343, 1_166_243, 128, 40)}
+        n, e, f, c = sizes.get(dataset_name, (100_000, 800_000, 128, 16))
+        rng = np.random.RandomState(0)
+        src, dst = random_power_law_edges(n, e, seed=0)
+        graph = from_edges(src, dst, n_nodes=n, directed=False)
+        labels = rng.randint(0, c, size=n).astype(np.int64)
+        features = rng.randn(n, f).astype(np.float32)
+        order = rng.permutation(n)
+        n_tr, n_va = int(0.54 * n), int(0.18 * n)
+        return (graph, labels, features, order[:n_tr].tolist(),
+                order[n_tr:n_tr + n_va].tolist(),
+                order[n_tr + n_va:].tolist())
+    raise FileNotFoundError(
+        f"No cached/offline data for {dataset_name!r} and ogb is not "
+        f"installed; place an npz at {cache} or set "
+        f"GNNTF_TPU_ALLOW_SYNTHETIC=1 for a synthetic stand-in")
+
+
 _loaded = {}
 
 

@@ -143,3 +143,35 @@ def test_bootstrap_ci():
     assert low <= mean <= high
     assert mean == pytest.approx(np.mean(vals))
     assert high - low < 0.05
+
+
+def test_ogb_setup_synthetic_fallback(tmp_path):
+    """ogb_setup returns the array-scale data contract tuple with a COO
+    graph (BASELINE config 5 loader) in egress-free environments."""
+    from gnntf_tpu.data import ogb_setup
+    from gnntf_tpu.graph.coo import Graph
+
+    graph, labels, features, train, valid, test = ogb_setup(
+        "ogbn-tiny-test", data_dir=str(tmp_path))
+    assert isinstance(graph, Graph)
+    assert features.shape[0] == graph.n_nodes == labels.shape[0]
+    assert len(set(train) & set(valid)) == 0
+    assert len(train) + len(valid) + len(test) == graph.n_nodes
+
+
+def test_ogb_setup_npz_cache_roundtrip(tmp_path):
+    """A pre-placed npz cache is loaded without ogb installed."""
+    import numpy as np
+    from gnntf_tpu.data import ogb_setup
+
+    np.savez_compressed(
+        tmp_path / "ogbn_mini.npz",
+        src=np.array([0, 1, 2]), dst=np.array([1, 2, 3]),
+        n_nodes=np.int64(4), labels=np.array([0, 1, 0, 1]),
+        features=np.eye(4, dtype=np.float32),
+        train=np.array([0, 1]), valid=np.array([2]), test=np.array([3]))
+    graph, labels, features, train, valid, test = ogb_setup(
+        "ogbn-mini", data_dir=str(tmp_path))
+    assert graph.n_nodes == 4 and train == [0, 1] and test == [3]
+    # undirected symmetrization happened
+    assert graph.n_edges == 6
