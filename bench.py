@@ -60,14 +60,16 @@ def bench_jax(src, dst):
     # measurement amortizes dispatch/tunnel RTT, and the timed section ends
     # with an actual device->host value fetch: on the remote-TPU (axon)
     # backend block_until_ready() returns before execution completes, so a
-    # fetch is the only honest completion barrier.
-    @partial(jax.jit, static_argnums=2)
-    def propagate(g, h0, k):
+    # fetch is the only honest completion barrier.  The graph is closed over
+    # (a trace constant), the framework's idiomatic pattern — this lets the
+    # auto SpMM dispatcher select the row-split ELL formulation.
+    @partial(jax.jit, static_argnums=1)
+    def propagate(h0, k):
         def body(_, h):
-            return (1.0 - ALPHA) * spmm(g, h) + ALPHA * h0
+            return (1.0 - ALPHA) * spmm(normed, h) + ALPHA * h0
         return jax.lax.fori_loop(0, k, body, h0)
 
-    _ = float(jnp.sum(propagate(normed, x0, ITERATIONS)))  # compile+warm
+    _ = float(jnp.sum(propagate(x0, ITERATIONS)))  # compile+warm
     # Chain reps through a data dependency (h feeds back in) so no two timed
     # executions have identical inputs — a remote backend that memoizes
     # (executable, inputs) pairs cannot serve a rep from cache — and end each
@@ -78,7 +80,7 @@ def bench_jax(src, dst):
     h = x0
     for _ in range(reps):
         t0 = time.perf_counter()
-        h = propagate(normed, h, ITERATIONS)
+        h = propagate(h, ITERATIONS)
         _ = float(jnp.sum(h))
         times.append(time.perf_counter() - t0)
     dt = min(times)

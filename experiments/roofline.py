@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from gnntf_tpu.data.synthetic import random_power_law_edges
 from gnntf_tpu.graph import from_edges
 from gnntf_tpu.ops import normalize_adjacency
-from gnntf_tpu.ops.spmm import spmm_segment
+from gnntf_tpu.ops.spmm import spmm
 from gnntf_tpu.utils import roofline
 
 args = [int(a) for a in sys.argv[1:]]
@@ -41,14 +41,18 @@ normed = jax.jit(lambda g: normalize_adjacency(g, graph_dropout=0.0))(g)
 x = jnp.asarray(np.random.RandomState(1).randn(N, F), jnp.float32)
 
 
-@partial(jax.jit, static_argnums=2)
-def chain(g, h, k):
-    return jax.lax.fori_loop(0, k, lambda i, h: spmm_segment(g, h), h)
+# graph closed over (trace constant) so the auto dispatcher can pick ELL;
+# chained timed calls feed the previous output back in (see bench.py)
+@partial(jax.jit, static_argnums=1)
+def chain(h, k):
+    return jax.lax.fori_loop(0, k, lambda i, h: spmm(normed, h), h)
 
 
-_ = np.asarray(chain(normed, x, K)[:1, :1])  # compile + warm
+h = chain(x, K)
+_ = float(jnp.sum(h))  # compile + warm
 t0 = time.perf_counter()
-_ = np.asarray(chain(normed, x, K)[:1, :1])
+h = chain(h, K)
+_ = float(jnp.sum(h))
 per_iter = (time.perf_counter() - t0) / K
 
 r = roofline(g.n_edges, F, per_iter)

@@ -4,26 +4,43 @@ This is THE hot op of the framework — the reference calls
 ``tf.sparse.sparse_dense_matmul`` from every propagation layer
 (e.g. gnntf/core/gnn/architectures/filter.py:19, gcn.py:24,:48,:88,:104,:131).
 
-The default implementation is a gather + segment-sum, which XLA lowers to an
-efficient embedding-style gather and a sorted scatter-add on TPU (edges are
-sorted by destination row at graph build time, so ``indices_are_sorted`` holds
-and the scatter becomes a linear pass).  A Pallas kernel path
-(`gnntf_tpu.ops.pallas`) can be selected for large graphs via
-:func:`set_spmm_impl`.
+Implementations (select with :func:`set_spmm_impl`, default ``auto``):
+
+* ``segment`` — gather + sorted segment-sum.  Simple, fully dynamic
+  (works on traced edge structure), and the baseline for everything else.
+* ``ell`` — row-split padded ELL: rows are split into virtual rows of at
+  most ``k`` edges, the per-virtual-row reduce is a *dense* axis sum, and
+  only the small virtual-row -> row combine is a scatter.  Measured 2.2x
+  faster than ``segment`` on TPU v5e at ogbn-arxiv scale
+  (experiments/profile_spmm.py: 12.3 ms vs 27.6 ms per SpMM, E=2.3M,
+  F=128, k=8) because the TPU's weak spot is the per-edge scatter/gather
+  grain, and ELL moves almost all work onto dense-shaped ops.  The
+  layout (indices) is built host-side once per graph structure and
+  memoized; edge *values* stay dynamic, so per-step graph-dropout and
+  renormalization work unchanged.
+* ``pallas`` — blocked one-hot MXU kernel (`gnntf_tpu.ops.pallas`);
+  competitive only at high blocked fill factors.
+* ``auto`` — ``ell`` for concrete (non-traced) edge structure above
+  ``_ELL_MIN_EDGES`` edges, else ``segment``.
 """
 from __future__ import annotations
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..graph.coo import Graph
 
-_SPMM_IMPL = "segment"  # or "pallas"
+_SPMM_IMPL = "auto"  # "auto" | "segment" | "ell" | "pallas"
+_ELL_MIN_EDGES = 65_536
+_ELL_DEFAULT_K = 8
 
 
 def set_spmm_impl(name: str) -> None:
     global _SPMM_IMPL
-    if name not in ("segment", "pallas"):
+    if name not in ("auto", "segment", "ell", "pallas"):
         raise ValueError(name)
     _SPMM_IMPL = name
 
@@ -39,12 +56,119 @@ def spmm_segment(graph: Graph, x: jax.Array) -> jax.Array:
     )
 
 
+@dataclasses.dataclass(frozen=True)
+class ELLLayout:
+    """Host-built row-split ELL layout for one graph *structure*.
+
+    ``idx[v, j]`` — source node of the j-th edge of virtual row ``v``
+    (padded with ``n_nodes``, which indexes an appended zero row);
+    ``slot[e]`` — flat position of edge ``e`` in the [V, k] value grid
+    (strictly increasing for row-sorted input, so the per-call value
+    scatter is sorted and unique);
+    ``vrow_row[v]`` — the real destination row of virtual row ``v``
+    (non-decreasing, so the combine is a sorted segment-sum).
+    """
+
+    idx: jax.Array        # (V, k) int32
+    slot: jax.Array       # (E,) int32
+    vrow_row: jax.Array   # (V,) int32
+    k: int
+    n_nodes: int
+
+    @property
+    def n_vrows(self) -> int:
+        return int(self.idx.shape[0])
+
+
+def build_ell(row: np.ndarray, col: np.ndarray, n_nodes: int,
+              k: int = _ELL_DEFAULT_K) -> ELLLayout:
+    """Build the row-split ELL layout (host, one-time per structure)."""
+    row = np.asarray(row, np.int64)
+    col = np.asarray(col, np.int64)
+    e = row.shape[0]
+    order = None
+    if e and np.any(row[1:] < row[:-1]):
+        order = np.argsort(row, kind="stable")
+        row_s, col_s = row[order], col[order]
+    else:
+        row_s, col_s = row, col
+    deg = np.bincount(row_s, minlength=n_nodes)
+    start = np.zeros(n_nodes + 1, np.int64)
+    np.cumsum(deg, out=start[1:])
+    rank = np.arange(e, dtype=np.int64) - start[row_s]
+    vrows_per_row = -(-deg // k)
+    voff = np.zeros(n_nodes + 1, np.int64)
+    np.cumsum(vrows_per_row, out=voff[1:])
+    vrow = voff[row_s] + rank // k
+    v_total = max(int(voff[-1]), 1)
+    slot_sorted = vrow * k + rank % k
+    idx = np.full((v_total, k), n_nodes, np.int32)
+    idx.reshape(-1)[slot_sorted] = col_s
+    slot = np.empty(e, np.int64)
+    if order is not None:
+        slot[order] = slot_sorted
+    else:
+        slot = slot_sorted
+    vrow_row = np.repeat(np.arange(n_nodes, dtype=np.int32), vrows_per_row)
+    if vrow_row.shape[0] == 0:
+        vrow_row = np.zeros(1, np.int32)
+    return ELLLayout(idx=jnp.asarray(idx), slot=jnp.asarray(slot, jnp.int32),
+                     vrow_row=jnp.asarray(vrow_row), k=k, n_nodes=n_nodes)
+
+
+_ELL_CACHE: dict = {}
+
+
+def _ell_layout(graph: Graph, k: int) -> ELLLayout:
+    # keyed on id() but a strong reference to the keying array is kept in
+    # the value, so a recycled id can never alias a dead graph's layout
+    key = (id(graph.row), k)
+    hit = _ELL_CACHE.get(key)
+    if hit is not None and hit[0] is graph.row:
+        return hit[1]
+    layout = build_ell(np.asarray(graph.row), np.asarray(graph.col),
+                       graph.n_nodes, k)
+    _ELL_CACHE[key] = (graph.row, layout)
+    return layout
+
+
+def spmm_ell(graph: Graph, x: jax.Array, k: int = _ELL_DEFAULT_K) -> jax.Array:
+    """SpMM via the row-split ELL layout (see module docstring).
+
+    Requires concrete (non-traced) ``graph.row``/``graph.col``; the usual
+    case — models close over the graph rather than passing it as a jit
+    argument, so the structure is a trace constant.  ``graph.val`` may be
+    traced (dropout/renormalization happen per step)."""
+    layout = _ell_layout(graph, k)
+    v_total = layout.n_vrows
+    vals = jnp.zeros((v_total * layout.k,), x.dtype)
+    vals = vals.at[layout.slot].set(graph.val.astype(x.dtype),
+                                    indices_are_sorted=graph.sorted_by_row,
+                                    unique_indices=True)
+    vals = vals.reshape(v_total, layout.k)
+    xp = jnp.concatenate([x, jnp.zeros((1, x.shape[1]), x.dtype)], axis=0)
+    partial = (xp[layout.idx] * vals[:, :, None]).sum(axis=1)
+    return jax.ops.segment_sum(partial, layout.vrow_row,
+                               num_segments=graph.n_nodes,
+                               indices_are_sorted=True)
+
+
+def _structure_is_concrete(graph: Graph) -> bool:
+    return not isinstance(graph.row, jax.core.Tracer)
+
+
 def spmm(graph: Graph, x: jax.Array) -> jax.Array:
     """Dispatching SpMM entry point used by all propagation layers."""
-    if _SPMM_IMPL == "pallas":
+    impl = _SPMM_IMPL
+    if impl == "auto":
+        impl = ("ell" if graph.n_edges >= _ELL_MIN_EDGES
+                and _structure_is_concrete(graph) else "segment")
+    if impl == "pallas":
         from .pallas.spmm import spmm_pallas
 
         return spmm_pallas(graph, x)
+    if impl == "ell" and _structure_is_concrete(graph):
+        return spmm_ell(graph, x)
     return spmm_segment(graph, x)
 
 

@@ -3,6 +3,8 @@
 The oracle replicates the reference math (gnn.py:36-50,
 graph_manipulation.py:24-31) independently in numpy.
 """
+import jax
+import jax.numpy as jnp
 import networkx as nx
 import numpy as np
 import pytest
@@ -133,3 +135,94 @@ def test_adj2graph_roundtrip():
     adj = gt.graph2adj(G, directed=True)
     G2 = gt.adj2graph(range(4), adj)
     assert set(G2.edges()) == {(0, 1), (2, 3)}
+
+
+class TestELL:
+    """Row-split ELL SpMM (ops/spmm.py): the fast TPU formulation must be
+    numerically interchangeable with the segment-sum path."""
+
+    def _graph(self, n=157, e=1100, seed=0, directed=False):
+        rng = np.random.RandomState(seed)
+        return gt.from_edges(rng.randint(0, n, e), rng.randint(0, n, e),
+                             rng.rand(e).astype(np.float32), n_nodes=n,
+                             directed=directed), rng
+
+    def test_matches_dense_oracle(self):
+        from gnntf_tpu.ops.spmm import spmm_ell
+
+        g, rng = self._graph()
+        x = jnp.asarray(rng.randn(g.n_nodes, 13), jnp.float32)
+        out = spmm_ell(g, x)
+        ref = np.asarray(g.to_dense()) @ np.asarray(x)
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
+
+    def test_matches_segment_for_all_k(self):
+        from gnntf_tpu.ops.spmm import spmm_ell, spmm_segment
+
+        g, rng = self._graph(seed=3)
+        x = jnp.asarray(rng.randn(g.n_nodes, 8), jnp.float32)
+        ref = np.asarray(spmm_segment(g, x))
+        for k in (1, 2, 8, 64):
+            np.testing.assert_allclose(np.asarray(spmm_ell(g, x, k=k)), ref,
+                                       rtol=1e-4, atol=1e-5)
+
+    def test_unsorted_structure(self):
+        """add_self_loops breaks row-sortedness; the layout build must
+        re-sort internally and the value scatter stay correct."""
+        from gnntf_tpu.graph import add_self_loops
+        from gnntf_tpu.ops.spmm import spmm_ell, spmm_segment
+
+        g, rng = self._graph(seed=5)
+        g = add_self_loops(g)
+        assert not g.sorted_by_row
+        x = jnp.asarray(rng.randn(g.n_nodes, 6), jnp.float32)
+        np.testing.assert_allclose(np.asarray(spmm_ell(g, x)),
+                                   np.asarray(spmm_segment(g, x)),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_traced_values_concrete_structure(self):
+        """Structure is a trace constant, values traced (the graph-dropout
+        training pattern): spmm_ell must jit and differentiate."""
+        import dataclasses as dc
+        from gnntf_tpu.ops.spmm import spmm_ell, spmm_segment
+
+        g, rng = self._graph(seed=7)
+        x = jnp.asarray(rng.randn(g.n_nodes, 5), jnp.float32)
+
+        @jax.jit
+        def f(val):
+            return jnp.sum(spmm_ell(dc.replace(g, val=val), x) ** 2)
+
+        gr = jax.grad(f)(g.val)
+        gr_ref = jax.grad(
+            lambda val: jnp.sum(spmm_segment(dc.replace(g, val=val), x) ** 2)
+        )(g.val)
+        np.testing.assert_allclose(np.asarray(gr), np.asarray(gr_ref),
+                                   rtol=1e-3, atol=1e-4)
+
+    def test_auto_dispatch_falls_back_on_tracers(self):
+        """Passing the graph as a jit argument traces the structure; the
+        auto dispatcher must quietly use the segment path."""
+        g, rng = self._graph(seed=9)
+        x = jnp.asarray(rng.randn(g.n_nodes, 4), jnp.float32)
+
+        @jax.jit
+        def f(g, x):
+            return gt.spmm(g, x)
+
+        np.testing.assert_allclose(np.asarray(f(g, x)),
+                                   np.asarray(gt.spmm(g, x)),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_isolated_and_high_degree_rows(self):
+        """Rows with degree 0 and degree >> k both come out right."""
+        from gnntf_tpu.ops.spmm import spmm_ell
+
+        n = 40
+        src = np.concatenate([np.zeros(25, np.int64), [5, 5, 7]])
+        dst = np.concatenate([np.arange(1, 26), [6, 8, 9]])
+        g = gt.from_edges(src, dst, n_nodes=n, directed=True)
+        x = jnp.asarray(np.random.RandomState(0).randn(n, 3), jnp.float32)
+        ref = np.asarray(g.to_dense()) @ np.asarray(x)
+        np.testing.assert_allclose(np.asarray(spmm_ell(g, x, k=4)), ref,
+                                   rtol=1e-5, atol=1e-5)
