@@ -53,3 +53,11 @@ acts = eval_fn(params, feats, sharded)
 test_task = gnntf.NodeClassification(test)
 pred = test_task.predict(acts, test_task.batch())
 print("test accuracy:", gnntf.acc(np.asarray(pred), labels[test]))
+
+# --- or: the one-liner — the full patience trainer, distributed ----------
+model2 = gnntf.APPNP(adj, features, num_classes=len(set(labels)))
+model2.train(train=task, valid=valid_task, patience=50, epochs=300, seed=0,
+             mesh=mesh)
+pred2 = model2.predict(test_task)
+print("test accuracy (fit with mesh=):",
+      gnntf.acc(np.asarray(pred2), labels[test]))

@@ -101,14 +101,15 @@ class Trainable(Network):
               batches: int = 1, optimizer=None, seed: Optional[int] = None,
               block_epochs: int = 1, callbacks=(),
               checkpoint_dir: Optional[str] = None,
-              checkpoint_every: int = 25, resume: bool = False):
+              checkpoint_every: int = 25, resume: bool = False, mesh=None):
         return fit(self, train, valid=valid, test=test, patience=patience,
                    learning_rate=learning_rate, regularization=regularization,
                    verbose=verbose, epochs=epochs, degradation=degradation,
                    batches=batches, optimizer=optimizer, seed=seed,
                    block_epochs=block_epochs, callbacks=callbacks,
                    checkpoint_dir=checkpoint_dir,
-                   checkpoint_every=checkpoint_every, resume=resume)
+                   checkpoint_every=checkpoint_every, resume=resume,
+                   mesh=mesh)
 
 
 def _total_loss(model: Trainable, task: Predictor, params: Params, features,
@@ -129,7 +130,7 @@ def fit(model: Trainable, train: Predictor, valid: Optional[Predictor] = None,
         batches: int = 1, optimizer=None, seed: Optional[int] = None,
         block_epochs: int = 1, callbacks=(),
         checkpoint_dir: Optional[str] = None, checkpoint_every: int = 25,
-        resume: bool = False):
+        resume: bool = False, mesh=None):
     """Train ``model`` in place; leaves best-validation params on
     ``model.params`` and returns a history dict.
 
@@ -137,34 +138,60 @@ def fit(model: Trainable, train: Predictor, valid: Optional[Predictor] = None,
     optimizer state, best params, epoch/patience/best-loss) is persisted
     every ``checkpoint_every`` epochs; ``resume=True`` continues from the
     latest checkpoint with identical semantics (SURVEY §5.3-5.4 — the
-    reference keeps this state only in memory, trainable.py:61,97)."""
+    reference keeps this state only in memory, trainable.py:61,97).
+
+    With ``mesh`` (a ``jax.sharding.Mesh`` from ``parallel.make_mesh``)
+    every train/eval step runs distributed: the graph edge-sharded, hidden
+    weights feature-sharded, gradients synced by GSPMD collectives —
+    early-stopping/patience/checkpoint semantics identical to the local
+    path."""
     model.reset(seed)
     params = model.params
     tx = optimizer if optimizer is not None else keras_adam(learning_rate)
-    opt_state = tx.init(params)
     if valid is None:
         valid = train  # trainable.py:58-59
 
     trainable = {s.name: s.trainable for s in model.param_specs}
 
-    @jax.jit
-    def train_step(params, opt_state, rng, deg, batch):
-        loss, grads = jax.value_and_grad(
-            lambda p: _total_loss(model, train, p, model.features, rng, batch,
-                                  regularization))(params)
-        # gradient of loss * degradation(epoch) (trainable.py:78); frozen
-        # params receive identically-zero gradients so their Adam moments
-        # stay zero and they never move (reference trains only the
-        # trainable var list, layered.py:37-39)
-        grads = {k: (g * deg if trainable.get(k, True) else jnp.zeros_like(g))
-                 for k, g in grads.items()}
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
+    if mesh is not None:
+        from ..parallel import (make_distributed_eval,
+                                make_distributed_train_step, place_state,
+                                shard_graph)
+        sharded = shard_graph(model.graph, mesh)
+        params, features_rep = place_state(model, mesh, params)
+        opt_state = tx.init(params)
+        dist_step = make_distributed_train_step(
+            model, train, mesh, tx, sharded, regularization=regularization)
+        dist_eval = make_distributed_eval(model, mesh, sharded)
 
-    @jax.jit
-    def eval_acts(params):
-        return model.apply(params, model.features, training=False)
+        def train_step(params, opt_state, rng, deg, batch):
+            return dist_step(params, opt_state, rng, deg, features_rep,
+                             sharded, batch)
+
+        def eval_acts(params):
+            return dist_eval(params, features_rep, sharded)
+    else:
+        opt_state = tx.init(params)
+
+        @jax.jit
+        def train_step(params, opt_state, rng, deg, batch):
+            loss, grads = jax.value_and_grad(
+                lambda p: _total_loss(model, train, p, model.features, rng,
+                                      batch, regularization))(params)
+            # gradient of loss * degradation(epoch) (trainable.py:78); frozen
+            # params receive identically-zero gradients so their Adam moments
+            # stay zero and they never move (reference trains only the
+            # trainable var list, layered.py:37-39)
+            grads = {k: (g * deg if trainable.get(k, True)
+                         else jnp.zeros_like(g))
+                     for k, g in grads.items()}
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        @jax.jit
+        def eval_acts(params):
+            return model.apply(params, model.features, training=False)
 
     valid_loss_fn = jax.jit(
         lambda acts, batch, params: valid.loss(acts, batch, params=params))
@@ -207,7 +234,7 @@ def fit(model: Trainable, train: Predictor, valid: Optional[Predictor] = None,
                   "best_epoch": history["best_epoch"]})
 
     use_fused = (block_epochs > 1 and batches == 1 and not verbose
-                 and train.static and valid.static)
+                 and train.static and valid.static and mesh is None)
     if use_fused:
         return _fit_fused(
             model, train, valid, train_step, eval_acts, params, opt_state,

@@ -251,3 +251,27 @@ class TestRing:
         part = build_ring_partition(g, 8)
         nonzero = int(np.count_nonzero(np.asarray(part.vals)))
         assert nonzero == g.n_edges
+
+
+def test_fit_with_mesh_full_training_loop(setup):
+    """model.train(mesh=...) runs the whole patience loop distributed and
+    reaches the same quality as the local path."""
+    mesh = make_mesh(4, 2)
+    labels = setup["labels"]
+    model = gt.APPNP(setup["adj"], setup["features"], num_classes=4,
+                     iterations=3)
+    tr = gt.NodeClassification(setup["train"], labels[setup["train"]])
+    hist = model.train(train=tr, patience=10, epochs=25, seed=0, mesh=mesh)
+    assert hist["valid_loss"][-1] < hist["valid_loss"][0]
+    assert np.isfinite(hist["valid_loss"]).all()
+    # predict() uses the restored best params (sharded arrays are fine)
+    pred = model.predict(gt.NodeClassification(setup["train"]))
+    acc = np.mean(np.asarray(pred) == labels[setup["train"]])
+    assert acc > 0.5
+
+    hist_local = gt.APPNP(setup["adj"], setup["features"], num_classes=4,
+                          iterations=3).train(train=tr, patience=10,
+                                              epochs=25, seed=0)
+    # same seed, same init scheme: trajectories agree to float tolerance
+    np.testing.assert_allclose(hist["valid_loss"][:5],
+                               hist_local["valid_loss"][:5], rtol=2e-2)
