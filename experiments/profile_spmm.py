@@ -119,3 +119,45 @@ for k in (8, 16, 32):
 # 5. bf16 feature propagation through the default path
 xb = x0.astype(jnp.bfloat16)
 timeit("segment-sum spmm (bf16)", lambda h: spmm_segment(g, h), xb)
+
+# 6. extended sweep: smaller k, bf16 ELL, RCM locality
+if os.environ.get("PROFILE_EXT") == "1":
+    for k in (2, 4):
+        idx, vals, vrow_row, V = build_ell(row_np, col_np, val_np, N, k)
+        print(f"  ELL k={k}: V={V} pad={V*k/Etot:.2f}x", file=sys.stderr,
+              flush=True)
+
+        def ell_body(h, idx=idx, vals=vals, vrow_row=vrow_row):
+            hp = jnp.concatenate([h, jnp.zeros((1, F), h.dtype)], axis=0)
+            return jax.ops.segment_sum((hp[idx] * vals[:, :, None]).sum(1),
+                                       vrow_row, num_segments=N,
+                                       indices_are_sorted=True)
+        timeit(f"row-split ELL k={k} (f32)", ell_body, x0)
+
+    idx, vals, vrow_row, V = build_ell(row_np, col_np, val_np, N, 8)
+    vals16 = vals.astype(jnp.bfloat16)
+
+    def ell_bf16(h):
+        hp = jnp.concatenate([h, jnp.zeros((1, F), h.dtype)], axis=0)
+        g = hp[idx] * vals16[:, :, None]
+        return jax.ops.segment_sum(
+            g.sum(1).astype(jnp.float32), vrow_row, num_segments=N,
+            indices_are_sorted=True).astype(jnp.bfloat16)
+    timeit("row-split ELL k=8 (bf16 feats)", ell_bf16,
+           x0.astype(jnp.bfloat16))
+
+    # RCM locality: relabel nodes, rebuild ELL, measure (output permuted —
+    # timing-only comparison)
+    from gnntf_tpu.graph.reorder import rcm_order
+    perm = np.asarray(rcm_order(g))
+    inv = np.empty_like(perm); inv[perm] = np.arange(N)
+    r2, c2 = inv[row_np], inv[col_np]
+    o2 = np.lexsort((c2, r2))
+    idx, vals, vrow_row, V = build_ell(r2[o2], c2[o2], val_np[o2], N, 8)
+
+    def ell_rcm(h):
+        hp = jnp.concatenate([h, jnp.zeros((1, F), h.dtype)], axis=0)
+        return jax.ops.segment_sum((hp[idx] * vals[:, :, None]).sum(1),
+                                   vrow_row, num_segments=N,
+                                   indices_are_sorted=True)
+    timeit("row-split ELL k=8 + RCM", ell_rcm, x0)

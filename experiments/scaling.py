@@ -1,0 +1,92 @@
+"""Scale-out efficiency harness (BASELINE config 5: edges/s scaling
+efficiency 1 chip -> N devices, >= 80% north star).
+
+Measures the three executors — GSPMD edge-sharded segment-sum, explicit
+halo-exchange, and ring block-rotation — at 1..N devices on an
+ogbn-arxiv-scale graph and reports per-device-count edges/s plus the
+scaling efficiency  eff(N) = edges_per_s(N) / (N * edges_per_s(1)).
+
+On a single-host run this exercises the full multi-chip code path on a
+virtual CPU mesh (methodology validation; absolute numbers are CPU-bound):
+  PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
+  XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+      python experiments/scaling.py [n_nodes n_edges features iters]
+On a real TPU pod slice the same script measures ICI-backed scaling.
+"""
+import os
+import sys
+import time
+from functools import partial
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gnntf_tpu.data.synthetic import random_power_law_edges
+from gnntf_tpu.graph import from_edges
+from gnntf_tpu.ops import normalize_adjacency
+from gnntf_tpu.parallel import (build_halo_partition, build_ring_partition,
+                                halo_spmm, make_mesh, ring_spmm, shard_graph)
+from gnntf_tpu.ops.spmm import spmm_segment
+
+args = [int(a) for a in sys.argv[1:]]
+N = args[0] if len(args) > 0 else 50_000
+E = args[1] if len(args) > 1 else 400_000
+F = args[2] if len(args) > 2 else 64
+K = args[3] if len(args) > 3 else 10
+
+src, dst = random_power_law_edges(N, E, seed=0)
+g = from_edges(src, dst, n_nodes=N, directed=False)
+g = jax.jit(lambda g: normalize_adjacency(g, graph_dropout=0.0))(g)
+x0 = jnp.asarray(np.random.RandomState(1).randn(N, F), jnp.float32)
+Etot = g.n_edges
+devices = jax.devices()
+print(f"platform={devices[0].platform} n_devices={len(devices)} "
+      f"N={N} E={Etot} F={F} K={K}")
+if devices[0].platform == "cpu":
+    print("NOTE: virtual CPU devices timeshare one host — efficiency "
+          "numbers here validate the code path, not ICI scaling "
+          "(expect eff ~ 1/N; measure on a real pod slice).")
+
+
+def timed(fn, x):
+    @jax.jit
+    def chain(h):
+        return jax.lax.fori_loop(0, K, lambda i, h: fn(h), h)
+
+    h = chain(x)
+    _ = float(jnp.sum(h))  # compile + warm
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        h = chain(h)
+        _ = float(jnp.sum(h))
+        best = min(best, time.perf_counter() - t0)
+    return best / K
+
+
+counts = [n for n in (1, 2, 4, 8, 16) if n <= len(devices)]
+base = {}
+for name in ("halo", "ring"):
+    for n in counts:
+        mesh = make_mesh(n, 1, devices=devices[:n])
+        if name == "halo":
+            part = build_halo_partition(g, n)
+            fn = lambda h: halo_spmm(part, h, mesh)
+        else:
+            part = build_ring_partition(g, n)
+            fn = lambda h: ring_spmm(part, h, mesh)
+        per_iter = timed(fn, x0)
+        eps = Etot / per_iter
+        if n == 1:
+            base[name] = eps
+        eff = eps / (n * base[name])
+        print(f"{name:5s} n={n:2d}  {per_iter*1e3:8.2f} ms/iter  "
+              f"{eps/1e6:9.1f} M edges/s  eff={eff*100:5.1f}%")
+
+# single-device segment-sum anchor
+per_iter = timed(lambda h: spmm_segment(g, h), x0)
+print(f"single-device segment-sum anchor: {per_iter*1e3:.2f} ms/iter "
+      f"{Etot/per_iter/1e6:.1f} M edges/s")
