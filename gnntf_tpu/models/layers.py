@@ -68,8 +68,13 @@ class GCNLayer(Layer):
 
     def apply(self, fw: Forward, x):
         adj = fw.adjacency(self.graph_dropout)
-        agg = spmm(adj, x)
-        y = jnp.dot(agg, fw.param(self.W), preferred_element_type=x.dtype)
+        W = fw.param(self.W)
+        # A(XW) == (AX)W: run the SpMM at the narrower feature width — on a
+        # 1433->64 input layer that is 22x less gather traffic per edge
+        if W.shape[0] > W.shape[1]:
+            y = spmm(adj, jnp.dot(x, W, preferred_element_type=x.dtype))
+        else:
+            y = jnp.dot(spmm(adj, x), W, preferred_element_type=x.dtype)
         if self.b is not None:
             y = y + fw.param(self.b)
         return fw.dropout(self.activation(y), self.dropout_rate)
@@ -92,9 +97,12 @@ class GCNSpectralPreservingLayer(Layer):
 
     def apply(self, fw: Forward, x):
         adj = fw.adjacency(self.graph_dropout)
-        agg = spmm(adj, x)
+        W = fw.param(self.W)
         b = fw.param(self.b) if self.b is not None else 0.0
-        y = jnp.dot(agg, fw.param(self.W), preferred_element_type=x.dtype) + b
+        if W.shape[0] > W.shape[1]:  # SpMM at the narrower width (see GCNLayer)
+            y = spmm(adj, jnp.dot(x, W, preferred_element_type=x.dtype)) + b
+        else:
+            y = jnp.dot(spmm(adj, x), W, preferred_element_type=x.dtype) + b
         return 2.0 * fw.dropout(self.activation(y) - b, self.dropout_rate)
 
 
