@@ -9,11 +9,12 @@ from . import measures
 from .graph import (Graph, add_self_loops, adj2graph, create_nx_graph,
                     from_edges, graph2adj, graph2indices)
 from .measures import acc, auc, avprec, f1, prec, rec, set_seed
-from .models import (APPNP, APPNP2, GAT, GCN, GCNII, MLP, NGCF, APPNPReg,
-                     APPNPThrough, FastReg, GATLayer, GCNIILayer,
+from .models import (APPNP, APPNP2, GAT, GCN, GCNII, GIN, MLP, NGCF,
+                     APPNPReg, APPNPThrough, FastReg, GATLayer, GCNIILayer,
                      GCNIISpectralPreservingLayer, GCNIIReg, GCNLayer,
-                     GCNSpectralPreservingLayer, GNN, NGCFLayer, PPRIteration,
-                     PPRSweep, StableIteration, Structural)
+                     GCNSpectralPreservingLayer, GINLayer, GNN, GraphSAGE,
+                     NGCFLayer, PPRIteration, PPRSweep, SAGELayer,
+                     StableIteration, Structural)
 from .nn import (LSTM, Activation, Branch, Concatenate, Dense, Dropout,
                  Forward, Layer, Network, Resume, Tradeoff, Wrap, batches)
 from .ops import (dropout, normalize_adjacency, sddmm, segment_softmax,

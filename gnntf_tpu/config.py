@@ -94,11 +94,39 @@ class GATConfig:
                    dropout=self.dropout)
 
 
+@dataclass
+class GraphSAGEConfig:
+    latent_dims: Sequence[int] = (64,)
+    dropout: float = 0.5
+    normalize: bool = False
+
+    def build(self, graph, features, num_classes: int):
+        from .models import GraphSAGE
+        return GraphSAGE(graph, features, num_classes=num_classes,
+                         latent_dims=list(self.latent_dims),
+                         dropout=self.dropout, normalize=self.normalize)
+
+
+@dataclass
+class GINConfig:
+    latent_dims: Sequence[int] = (64,)
+    dropout: float = 0.5
+    train_eps: bool = True
+
+    def build(self, graph, features, num_classes: int):
+        from .models import GIN
+        return GIN(graph, features, num_classes=num_classes,
+                   latent_dims=list(self.latent_dims), dropout=self.dropout,
+                   train_eps=self.train_eps)
+
+
 MODEL_CONFIGS = {
     "appnp": APPNPConfig,
     "gcn": GCNConfig,
     "gcnii": GCNIIConfig,
     "gat": GATConfig,
+    "sage": GraphSAGEConfig,
+    "gin": GINConfig,
 }
 
 

@@ -7,3 +7,4 @@ from .gnn import GNN, Structural
 from .layers import (GCNIILayer, GCNIISpectralPreservingLayer, GCNLayer,
                      GCNSpectralPreservingLayer, NGCFLayer, PPRIteration)
 from .mlp import MLP
+from .sage import GIN, GINLayer, GraphSAGE, SAGELayer

@@ -18,7 +18,8 @@ def data(request):
                 num_classes=len(set(labels.tolist())))
 
 
-ALL_MODELS = ["appnp", "gcn", "gcnii", "mlp", "gat", "ngcf", "appnp2"]
+ALL_MODELS = ["appnp", "gcn", "gcnii", "mlp", "gat", "ngcf", "appnp2",
+              "sage", "gin"]
 
 
 def build(name, d):
@@ -37,6 +38,10 @@ def build(name, d):
         return gt.NGCF(d["adj"], d["features"], num_classes=C)
     if name == "appnp2":
         return gt.APPNP2(d["adj"], d["features"], num_classes=C, iterations=3)
+    if name == "sage":
+        return gt.GraphSAGE(d["adj"], d["features"], num_classes=C)
+    if name == "gin":
+        return gt.GIN(d["adj"], d["features"], num_classes=C)
     raise ValueError(name)
 
 
@@ -200,3 +205,67 @@ def test_gat_head_modes(data):
     out = m.apply(params, m.features)
     assert out.shape == (data["features"].shape[0], 5)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_sage_mean_aggregation_invariant(data):
+    """With identity weights forced in, the neighbor branch of SAGELayer must
+    equal the exact per-node neighbor mean (bipartite D^-1 A on a symmetrized
+    graph == row mean, ops/normalize.py)."""
+    import gnntf_tpu as gt
+    from gnntf_tpu.models import SAGELayer
+
+    d = data["features"].shape[1]
+    m = gt.GNN(data["adj"], data["features"])
+    m.add(SAGELayer(d, activation=None, bias=False))
+    params = m.init(0)
+    eye = jnp.eye(d, dtype=jnp.float32)
+    flat = dict(params)
+    names = sorted(k for k in flat if flat[k].shape == (d, d))
+    assert len(names) == 2  # W_self, W_neigh (creation order)
+    flat[names[0]] = jnp.zeros((d, d), jnp.float32)  # W_self := 0
+    flat[names[1]] = eye                             # W_neigh := I
+    out = np.asarray(m.apply(type(params)(flat) if not isinstance(params, dict)
+                             else flat, m.features, training=False))
+
+    g, x = data["adj"], np.asarray(data["features"], np.float64)
+    n = g.n_nodes
+    dense = np.zeros((n, n))
+    np.add.at(dense, (np.asarray(g.row), np.asarray(g.col)), np.asarray(g.val))
+    deg = dense.sum(axis=1, keepdims=True)
+    expected = np.divide(dense @ x, deg, out=np.zeros_like(dense @ x),
+                         where=deg != 0)
+    np.testing.assert_allclose(out, expected, rtol=1e-4, atol=1e-5)
+
+
+def test_sage_learns_synthetic(data):
+    import gnntf_tpu as gt
+
+    labels = data["labels"]
+    gt.set_seed(0)
+    m = gt.GraphSAGE(data["adj"], data["features"],
+                     num_classes=data["num_classes"], latent_dims=(32,))
+    m.train(train=gt.NodeClassification(data["train"], labels[data["train"]]),
+            valid=gt.NodeClassification(data["valid"], labels[data["valid"]]),
+            epochs=150, patience=30, seed=0, block_epochs=25)
+    pred = m.predict(gt.NodeClassification(data["test"]))
+    assert gt.acc(np.asarray(pred), labels[data["test"]]) > 0.6
+
+
+def test_gin_learns_synthetic_and_eps_trains(data):
+    import gnntf_tpu as gt
+
+    labels = data["labels"]
+    gt.set_seed(0)
+    m = gt.GIN(data["adj"], data["features"],
+               num_classes=data["num_classes"], latent_dims=(32,))
+    p0 = {k: np.asarray(v) for k, v in dict(m.init(0)).items()}
+    m.train(train=gt.NodeClassification(data["train"], labels[data["train"]]),
+            valid=gt.NodeClassification(data["valid"], labels[data["valid"]]),
+            epochs=150, patience=30, seed=0, block_epochs=25)
+    pred = m.predict(gt.NodeClassification(data["test"]))
+    assert gt.acc(np.asarray(pred), labels[data["test"]]) > 0.6
+    # the learnable eps scalar moved away from its zero init
+    eps_keys = [k for k, v in p0.items() if v.shape == (1, 1)]
+    assert eps_keys
+    trained = dict(m.params)
+    assert any(abs(float(np.asarray(trained[k]))) > 0 for k in eps_keys)
