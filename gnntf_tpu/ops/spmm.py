@@ -82,10 +82,27 @@ class ELLLayout:
 
 def build_ell(row: np.ndarray, col: np.ndarray, n_nodes: int,
               k: int = _ELL_DEFAULT_K) -> ELLLayout:
-    """Build the row-split ELL layout (host, one-time per structure)."""
+    """Build the row-split ELL layout (host, one-time per structure).
+
+    Prefers the single-pass C++ builder (native/gnntf_native.cc
+    ``gnntf_build_ell``, O(E) counting pass, any edge order); falls back
+    to the vectorized numpy path (stable argsort + scatter) when the
+    native library is unavailable."""
     row = np.asarray(row, np.int64)
     col = np.asarray(col, np.int64)
     e = row.shape[0]
+    if e and n_nodes < 2**31 and row.max() < n_nodes and col.max() <= n_nodes:
+        deg = np.bincount(row, minlength=n_nodes)
+        v_total = int(np.sum(-(-deg // k)))
+        if v_total > 0:
+            from ..utils.native import build_ell_native
+            built = build_ell_native(row, col, n_nodes, k, v_total)
+            if built is not None:
+                idx, slot, vrow_row = built
+                return ELLLayout(idx=jnp.asarray(idx),
+                                 slot=jnp.asarray(slot, jnp.int32),
+                                 vrow_row=jnp.asarray(vrow_row),
+                                 k=k, n_nodes=n_nodes)
     order = None
     if e and np.any(row[1:] < row[:-1]):
         order = np.argsort(row, kind="stable")

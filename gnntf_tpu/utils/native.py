@@ -60,6 +60,9 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.gnntf_lexsort_edges.argtypes = [p32, p32, i64, p64]
         lib.gnntf_sort_unique_u64.restype = i64
         lib.gnntf_sort_unique_u64.argtypes = [pu64, i64]
+        lib.gnntf_build_ell.restype = i64
+        lib.gnntf_build_ell.argtypes = [p32, p32, i64, i64, i64, i64,
+                                        p32, p32, p32]
         _lib = lib
         return _lib
 
@@ -104,6 +107,28 @@ def negative_sample_native(sampler) -> Optional[bool]:
         return None
     sampler.edges[:] = out
     return True
+
+
+def build_ell_native(row: np.ndarray, col: np.ndarray, n_nodes: int,
+                     k: int, n_vrows: int):
+    """Single-pass C++ row-split ELL layout build (any edge order; the
+    numpy path needs a stable argsort first).  Returns
+    ``(idx[V,k], slot[E], vrow_row[V])`` int32 arrays, or None when the
+    native library is unavailable or inputs are inconsistent."""
+    lib = _load()
+    if lib is None:
+        return None
+    row = np.ascontiguousarray(row, np.int32)
+    col = np.ascontiguousarray(col, np.int32)
+    e = len(row)
+    idx = np.empty(n_vrows * k, np.int32)
+    slot = np.empty(e, np.int32)
+    vrow_row = np.empty(n_vrows, np.int32)
+    rc = lib.gnntf_build_ell(row, col, e, n_nodes, k, n_vrows,
+                             idx, slot, vrow_row)
+    if rc != 0:
+        return None
+    return idx.reshape(n_vrows, k), slot, vrow_row
 
 
 def lexsort_edges(row: np.ndarray, col: np.ndarray) -> Optional[np.ndarray]:

@@ -115,4 +115,40 @@ int64_t gnntf_sort_unique_u64(uint64_t *keys, int64_t n) {
   return std::unique(keys, keys + n) - keys;
 }
 
+// Row-split ELL layout construction (see gnntf_tpu/ops/spmm.py ELLLayout):
+// single O(E) counting pass, input edges in ANY order (the numpy path
+// needs a stable argsort first).  Outputs:
+//   idx      [V*k]  source node of each virtual-row slot, pad = n
+//   slot     [E]    flat slot of edge e in the [V, k] grid (input order)
+//   vrow_row [V]    real destination row of each virtual row
+// V must be precomputed by the caller as sum(ceil(deg/k)); returns -1 on
+// a row id out of [0, n), else 0.
+int64_t gnntf_build_ell(const int32_t *row, const int32_t *col, int64_t e,
+                        int64_t n, int64_t k, int64_t v,
+                        int32_t *idx, int32_t *slot, int32_t *vrow_row) {
+  std::vector<int64_t> deg(n, 0);
+  for (int64_t i = 0; i < e; ++i) {
+    const int32_t r = row[i];
+    if (r < 0 || r >= n) return -1;
+    ++deg[r];
+  }
+  // voff[r] = first virtual row of real row r; cursor[r] = edges placed so far
+  std::vector<int64_t> voff(n + 1, 0);
+  for (int64_t r = 0; r < n; ++r) voff[r + 1] = voff[r] + (deg[r] + k - 1) / k;
+  if (voff[n] != v) return -1;
+  std::fill(idx, idx + v * k, static_cast<int32_t>(n));
+  for (int64_t r = 0; r < n; ++r)
+    for (int64_t vr = voff[r]; vr < voff[r + 1]; ++vr)
+      vrow_row[vr] = static_cast<int32_t>(r);
+  std::vector<int64_t> cursor(n, 0);
+  for (int64_t i = 0; i < e; ++i) {
+    const int32_t r = row[i];
+    const int64_t pos = cursor[r]++;
+    const int64_t s = (voff[r] + pos / k) * k + pos % k;
+    idx[s] = col[i];
+    slot[i] = static_cast<int32_t>(s);
+  }
+  return 0;
+}
+
 }  // extern "C"
