@@ -32,7 +32,7 @@ from __future__ import annotations
 import math
 import time
 from functools import partial
-from typing import Callable, Optional
+from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -44,11 +44,46 @@ from ..nn.core import Network, Params
 from ..tasks.base import Predictor
 
 
-def keras_adam(learning_rate: float = 0.01) -> optax.GradientTransformation:
-    """Adam with Keras' hyperparameters and epsilon placement
-    (epsilon-hat=1e-7 added outside the sqrt; the reference uses
-    ``tf.keras.optimizers.Adam(lr)``, trainable.py:56-57)."""
-    return optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-7, eps_root=0.0)
+class KerasAdamState(NamedTuple):
+    count: jax.Array
+    m: optax.Updates
+    v: optax.Updates
+
+
+def keras_adam(learning_rate: float = 0.01, b1: float = 0.9,
+               b2: float = 0.999,
+               eps: float = 1e-7) -> optax.GradientTransformation:
+    """Adam with Keras' exact update rule (the reference uses
+    ``tf.keras.optimizers.Adam(lr)``, trainable.py:56-57):
+
+        alpha = lr * sqrt(1 - b2^t) / (1 - b1^t)
+        var  -= alpha * m / (sqrt(v) + eps)
+
+    Note the epsilon placement: added to the *uncorrected* sqrt(v), outside
+    the bias-correction factor — ``optax.adam`` instead adds eps to
+    sqrt(v_hat), an O(eps * (1 - sqrt(1-b2^t))) divergence per step that is
+    visible in training-trajectory parity tests, so the rule is implemented
+    verbatim here."""
+
+    def init_fn(params):
+        zeros = lambda: jax.tree_util.tree_map(jnp.zeros_like, params)
+        return KerasAdamState(jnp.zeros([], jnp.int32), zeros(), zeros())
+
+    def update_fn(updates, state, params=None):
+        del params
+        count = state.count + 1
+        m = jax.tree_util.tree_map(lambda m_, g: b1 * m_ + (1.0 - b1) * g,
+                                   state.m, updates)
+        v = jax.tree_util.tree_map(
+            lambda v_, g: b2 * v_ + (1.0 - b2) * jnp.square(g),
+            state.v, updates)
+        t = count.astype(jnp.float32)
+        alpha = learning_rate * jnp.sqrt(1.0 - b2 ** t) / (1.0 - b1 ** t)
+        out = jax.tree_util.tree_map(
+            lambda m_, v_: -alpha * m_ / (jnp.sqrt(v_) + eps), m, v)
+        return out, KerasAdamState(count, m, v)
+
+    return optax.GradientTransformation(init_fn, update_fn)
 
 
 class Trainable(Network):
@@ -62,6 +97,7 @@ class Trainable(Network):
         self.features = features
         self.params: Optional[Params] = None
         self._act_cache = None  # clean-forward cache (trainable.py:26-39)
+        self._eval_fn = None    # jitted clean forward, built once
 
     # -- inference ----------------------------------------------------------
     def reset(self, seed: Optional[int] = None) -> None:
@@ -72,9 +108,10 @@ class Trainable(Network):
         if self.params is None:
             self.reset()
         if self._act_cache is None:
-            self._act_cache = jax.jit(
-                lambda p, x: self.apply(p, x, training=False)
-            )(self.params, self.features)
+            if self._eval_fn is None:  # build once — jit caches by identity
+                self._eval_fn = jax.jit(
+                    lambda p, x: self.apply(p, x, training=False))
+            self._act_cache = self._eval_fn(self.params, self.features)
         return self._act_cache
 
     def predict(self, predictor: Predictor):
@@ -101,7 +138,8 @@ class Trainable(Network):
               batches: int = 1, optimizer=None, seed: Optional[int] = None,
               block_epochs: int = 1, callbacks=(),
               checkpoint_dir: Optional[str] = None,
-              checkpoint_every: int = 25, resume: bool = False, mesh=None):
+              checkpoint_every: int = 25, resume: bool = False, mesh=None,
+              spmm: Optional[str] = None, init_params=None):
         return fit(self, train, valid=valid, test=test, patience=patience,
                    learning_rate=learning_rate, regularization=regularization,
                    verbose=verbose, epochs=epochs, degradation=degradation,
@@ -109,7 +147,7 @@ class Trainable(Network):
                    block_epochs=block_epochs, callbacks=callbacks,
                    checkpoint_dir=checkpoint_dir,
                    checkpoint_every=checkpoint_every, resume=resume,
-                   mesh=mesh)
+                   mesh=mesh, spmm=spmm, init_params=init_params)
 
 
 def _total_loss(model: Trainable, task: Predictor, params: Params, features,
@@ -130,7 +168,8 @@ def fit(model: Trainable, train: Predictor, valid: Optional[Predictor] = None,
         batches: int = 1, optimizer=None, seed: Optional[int] = None,
         block_epochs: int = 1, callbacks=(),
         checkpoint_dir: Optional[str] = None, checkpoint_every: int = 25,
-        resume: bool = False, mesh=None):
+        resume: bool = False, mesh=None, spmm: Optional[str] = None,
+        init_params=None):
     """Train ``model`` in place; leaves best-validation params on
     ``model.params`` and returns a history dict.
 
@@ -144,8 +183,18 @@ def fit(model: Trainable, train: Predictor, valid: Optional[Predictor] = None,
     every train/eval step runs distributed: the graph edge-sharded, hidden
     weights feature-sharded, gradients synced by GSPMD collectives —
     early-stopping/patience/checkpoint semantics identical to the local
-    path."""
-    model.reset(seed)
+    path.  ``spmm`` selects the distributed propagation executor:
+    ``None``/"gspmd" (edge-sharded arrays, XLA-inserted collectives) or
+    "halo" (explicit shard_map halo-exchange all_to_all, SURVEY §5.7).
+
+    ``init_params`` injects a specific initial parameter pytree instead of
+    a fresh ``reset(seed)`` — used for warm starts and for golden
+    training-trajectory parity against the TF reference (copied init)."""
+    if init_params is not None:
+        model.params = init_params
+        model._act_cache = None
+    else:
+        model.reset(seed)
     params = model.params
     tx = optimizer if optimizer is not None else keras_adam(learning_rate)
     if valid is None:
@@ -196,8 +245,7 @@ def fit(model: Trainable, train: Predictor, valid: Optional[Predictor] = None,
     valid_loss_fn = jax.jit(
         lambda acts, batch, params: valid.loss(acts, batch, params=params))
 
-    base_rng = jax.random.PRNGKey(
-        measures.next_seed() if seed is None else seed + 1)
+    rng_seed = measures.next_seed() if seed is None else seed + 1
 
     min_loss = float("inf")
     best_params = params  # immutable pytree — snapshot is a reference
@@ -223,6 +271,11 @@ def fit(model: Trainable, train: Predictor, valid: Optional[Predictor] = None,
             min_loss = float(meta.get("min_loss", min_loss))
             patience_remaining = int(meta.get("patience_remaining", patience))
             history["best_epoch"] = int(meta.get("best_epoch", -1))
+            # restore the RNG stream so a resumed seed=None run draws the
+            # exact dropout sequence of the uninterrupted one
+            rng_seed = int(meta.get("rng_seed", rng_seed))
+
+    base_rng = jax.random.PRNGKey(rng_seed)
 
     def save_ckpt(epoch):
         from ..utils.checkpoint import save_checkpoint
@@ -231,7 +284,8 @@ def fit(model: Trainable, train: Predictor, valid: Optional[Predictor] = None,
             best_params=best_params,
             meta={"epoch": epoch, "min_loss": min_loss,
                   "patience_remaining": patience_remaining,
-                  "best_epoch": history["best_epoch"]})
+                  "best_epoch": history["best_epoch"],
+                  "rng_seed": rng_seed})
 
     use_fused = (block_epochs > 1 and batches == 1 and not verbose
                  and train.static and valid.static and mesh is None)
@@ -243,7 +297,7 @@ def fit(model: Trainable, train: Predictor, valid: Optional[Predictor] = None,
             callbacks=callbacks, checkpoint_dir=checkpoint_dir,
             checkpoint_every=checkpoint_every, start_epoch=start_epoch,
             min_loss=min_loss, patience_remaining=patience_remaining,
-            best_params=best_params, history=history)
+            best_params=best_params, history=history, rng_seed=rng_seed)
 
     stop = False
     epoch = start_epoch
@@ -310,7 +364,7 @@ def _tree_where(cond, a, b):
 def _fit_fused(model, train, valid, train_step, eval_acts, params, opt_state,
                base_rng, *, patience, epochs, degradation, block_epochs,
                callbacks, checkpoint_dir, checkpoint_every, start_epoch,
-               min_loss, patience_remaining, best_params, history):
+               min_loss, patience_remaining, best_params, history, rng_seed):
     """Fused multi-epoch path: ``block_epochs`` full epochs (train step +
     clean validation + best-params/patience tracking) run inside ONE jitted
     ``lax.scan`` — identical early-stopping semantics to the host loop
@@ -393,7 +447,8 @@ def _fit_fused(model, train, valid, train_step, eval_acts, params, opt_state,
                 opt_state=opt_state, best_params=best_params,
                 meta={"epoch": epoch - 1, "min_loss": float(min_loss),
                       "patience_remaining": int(patience_rem),
-                      "best_epoch": history["best_epoch"]})
+                      "best_epoch": history["best_epoch"],
+                      "rng_seed": rng_seed})
         if bool(stopped):
             break
 

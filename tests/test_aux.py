@@ -74,6 +74,36 @@ def test_fit_resume_matches_uninterrupted(tiny, tmp_path):
     np.testing.assert_array_equal(out, ref)
 
 
+def test_fit_resume_seedless_rng_stream(tiny, tmp_path):
+    """``resume=True`` with ``seed=None`` reproduces the exact uninterrupted
+    run: the RNG stream is part of the checkpoint, so the resumed run's
+    dropout sequence continues where the interrupted one left off even when
+    the global seed state has moved on."""
+    G, labels, features, train, valid, _ = tiny
+    t_task = gt.NodeClassification(train, labels[train])
+    v_task = gt.NodeClassification(valid, labels[valid])
+
+    gt.set_seed(11)
+    m1 = gt.MLP(features, num_classes=3)
+    m1.train(train=t_task, valid=v_task, epochs=12, patience=50)
+    ref = np.asarray(m1.predict(gt.NodeClassification(valid)))
+
+    ckdir = str(tmp_path / "ck_seedless")
+    gt.set_seed(11)
+    m2 = gt.MLP(features, num_classes=3)
+    m2.train(train=t_task, valid=v_task, epochs=6, patience=50,
+             checkpoint_dir=ckdir, checkpoint_every=3)
+    # resume under a *different* global seed state — the checkpointed RNG
+    # stream must take over for the runs to match
+    gt.set_seed(999)
+    m3 = gt.MLP(features, num_classes=3)
+    m3.train(train=t_task, valid=v_task, epochs=12, patience=50,
+             checkpoint_dir=ckdir, checkpoint_every=3, resume=True)
+    out = np.asarray(m3.predict(gt.NodeClassification(valid)))
+    np.testing.assert_array_equal(out, ref)
+    gt.set_seed(0)
+
+
 def test_train_logger(tmp_path, tiny):
     G, labels, features, train, valid, _ = tiny
     path = str(tmp_path / "log.jsonl")
