@@ -220,6 +220,194 @@ def test_metrics_parity():
         float(ref_measures.acc(np.asarray(cls_pred), np.asarray(cls_lab))))
 
 
+# ---------------------------------------------------------------------------
+# Training-trajectory golden parity: the reference's actual train() loop
+# (trainable.py:41-103) vs our fit(), from identical copied initialization.
+# ---------------------------------------------------------------------------
+
+def _freeze_ref_reset(ref_model):
+    """Snapshot the reference model's post-reset variables and replace its
+    ``reset`` with a restore of that snapshot, so the internal reset at the
+    top of ``train()`` (trainable.py:53) re-produces the same init."""
+    rvars = _ref_vars(ref_model)
+    snaps = [v.var.numpy().copy() for v in rvars]
+
+    def frozen_reset():
+        for v, s in zip(rvars, snaps):
+            v.var.assign(s)
+
+    ref_model.reset = frozen_reset
+    return snaps
+
+
+def _record_losses(task):
+    """Wrap a reference Predictor's loss to record every call.  The train
+    loop calls valid.loss exactly once per epoch on the clean forward
+    (trainable.py:83-84), so the record IS the valid-loss trajectory."""
+    rec = []
+    orig = task.loss
+
+    def wrapped(feats):
+        out = orig(feats)
+        rec.append(float(out))
+        return out
+
+    task.loss = wrapped
+    return rec
+
+
+def _trajectory_case(ref_builder, our_builder, tiny_graph, *, epochs,
+                     patience=100000, n_classes=3):
+    """Train reference + ours from copied init (dropout-off models) and
+    return (ref_valid_losses, ref_final_vars, our_history, our_model)."""
+    import tensorflow as tf
+    import gnntf_tpu as gt
+
+    G, feats = tiny_graph
+    rng = np.random.RandomState(3)
+    tr_nodes = rng.choice(40, 16, replace=False)
+    tr_labels = rng.randint(0, n_classes, 16)
+    va_nodes = rng.choice(40, 12, replace=False)
+    va_labels = rng.randint(0, n_classes, 12)
+
+    ref_model = ref_builder(ref.graph2adj(G), tf.constant(feats))
+    ref_model.reset()
+    snaps = _freeze_ref_reset(ref_model)
+    ref_valid = ref.NodeClassification(va_nodes, va_labels)
+    ref_vl = _record_losses(ref_valid)
+    ref_model.train(train=ref.NodeClassification(tr_nodes, tr_labels),
+                    valid=ref_valid, epochs=epochs, patience=patience)
+    ref_final = [v.var.numpy() for v in _ref_vars(ref_model)]
+
+    our_model = our_builder(gt.graph2adj(G), feats)
+    import jax.numpy as jnp
+    assert len(snaps) == len(our_model.param_specs)
+    params = {s.name: jnp.asarray(rv)
+              for s, rv in zip(our_model.param_specs, snaps)}
+    hist = our_model.train(
+        train=gt.NodeClassification(tr_nodes, tr_labels),
+        valid=gt.NodeClassification(va_nodes, va_labels),
+        epochs=epochs, patience=patience, init_params=params)
+    return ref_vl, ref_final, hist, our_model
+
+
+def _assert_trajectory_match(ref_vl, ref_final, hist, our_model,
+                             atol_loss=1e-5, atol_param=1e-5):
+    np.testing.assert_allclose(np.asarray(hist["valid_loss"]),
+                               np.asarray(ref_vl), atol=atol_loss, rtol=1e-4)
+    for spec, rv in zip(our_model.param_specs, ref_final):
+        ov = np.asarray(our_model.params[spec.name])
+        scale = np.abs(rv).max() + 1e-9
+        np.testing.assert_allclose(
+            ov, rv, atol=atol_param * scale, rtol=1e-4,
+            err_msg=f"best-params mismatch at {spec.name}")
+
+
+@requires_ref
+def test_training_trajectory_parity_gcnii(tiny_graph):
+    """25 epochs of the reference's train() vs our fit() on GCNII with
+    dropout=0 (its graph_dropout is hardcoded 0, so training is fully
+    deterministic): per-epoch validation losses and final best params
+    allclose.  Validates the whole trainer transitively — forward, task
+    loss, layer/weight regularization, Keras-Adam update, best-restore."""
+    import gnntf_tpu as gt
+    ref_vl, ref_final, hist, our_model = _trajectory_case(
+        lambda a, f: ref.GCNII(a, f, num_classes=3, iterations=4,
+                               latent_dims=[8], dropout=0),
+        lambda a, f: gt.GCNII(a, f, num_classes=3, iterations=4,
+                              latent_dims=(8,), dropout=0),
+        tiny_graph, epochs=25)
+    assert len(ref_vl) == len(hist["valid_loss"]) == 25
+    _assert_trajectory_match(ref_vl, ref_final, hist, our_model)
+
+
+@requires_ref
+def test_training_trajectory_parity_appnp_propagation(tiny_graph):
+    """Same trajectory comparison through the SpMM propagation path: a
+    deterministic APPNP-style stack (Dense -> H0 -> 6x PPRIteration with
+    graph_dropout=0) hand-built identically in both frameworks."""
+    import tensorflow as tf
+    import gnntf_tpu as gt
+    from gnntf.core.gnn.architectures.filter import PPRIteration as RefPPR
+    from gnntf.core.nn import Dense as RefDense
+
+    def ref_builder(adj, feats):
+        m = ref.GNN(adj, feats)
+        m.add(RefDense(16, activation=tf.nn.relu))
+        H0 = m.add(RefDense(3, regularize=False))
+        for _ in range(6):
+            m.add(RefPPR(H0, 0.1, graph_dropout=0))
+        return m
+
+    def our_builder(adj, feats):
+        import jax
+        m = gt.GNN(adj, feats)
+        m.add(gt.Dense(16, activation=jax.nn.relu))
+        H0 = m.add(gt.Dense(3, regularize=False))
+        for _ in range(6):
+            m.add(gt.PPRIteration(H0, 0.1, graph_dropout=0.0))
+        return m
+
+    ref_vl, ref_final, hist, our_model = _trajectory_case(
+        ref_builder, our_builder, tiny_graph, epochs=20)
+    _assert_trajectory_match(ref_vl, ref_final, hist, our_model)
+
+
+@requires_ref
+def test_training_early_stopping_parity(tiny_graph):
+    """Patience-driven early stopping fires at the same epoch in both
+    frameworks and both restore the same best snapshot
+    (trainable.py:90-102)."""
+    import gnntf_tpu as gt
+    ref_vl, ref_final, hist, our_model = _trajectory_case(
+        lambda a, f: ref.GCNII(a, f, num_classes=3, iterations=4,
+                               latent_dims=[8], dropout=0),
+        lambda a, f: gt.GCNII(a, f, num_classes=3, iterations=4,
+                              latent_dims=(8,), dropout=0),
+        tiny_graph, epochs=400, patience=8)
+    # identical stopping epoch: one valid-loss record per epoch run
+    assert len(ref_vl) == hist["epochs_run"]
+    _assert_trajectory_match(ref_vl, ref_final, hist, our_model,
+                             atol_loss=5e-5, atol_param=5e-5)
+
+
+@requires_ref
+def test_training_accuracy_parity_with_dropout():
+    """Stochastic (dropout-on) APPNP: both frameworks trained with full
+    default dropout on the same synthetic-planetoid graph reach the same
+    test accuracy within run-to-run noise (BASELINE configs 1-2 as far as
+    they are measurable without the real datasets)."""
+    import tensorflow as tf
+    import gnntf_tpu as gt
+    from gnntf_tpu.data import synthetic_planetoid
+
+    G, labels, features, train, valid, test = synthetic_planetoid(
+        n_nodes=200, n_classes=4, n_features=24, avg_degree=6.0, seed=5,
+        train_per_class=10, n_valid=40)
+
+    ref_accs, our_accs = [], []
+    for rep in range(3):
+        ref.measures.set_seed(rep)
+        rm = ref.APPNP(ref.graph2adj(G), tf.constant(features), num_classes=4)
+        rm.train(train=ref.NodeClassification(train, labels[train]),
+                 valid=ref.NodeClassification(valid, labels[valid]),
+                 epochs=100, patience=20)
+        pred = np.asarray(rm.predict(ref.NodeClassification(test)))
+        ref_accs.append(float(np.mean(pred == labels[test])))
+
+        gt.set_seed(rep)
+        om = gt.APPNP(gt.graph2adj(G), features, num_classes=4)
+        om.train(train=gt.NodeClassification(train, labels[train]),
+                 valid=gt.NodeClassification(valid, labels[valid]),
+                 epochs=100, patience=20)
+        pred = np.asarray(om.predict(gt.NodeClassification(test)))
+        our_accs.append(float(np.mean(pred == labels[test])))
+
+    ref_mean, our_mean = np.mean(ref_accs), np.mean(our_accs)
+    assert abs(our_mean - ref_mean) < 0.06, (ref_accs, our_accs)
+    assert our_mean >= ref_mean - 0.03  # at least reference-level accuracy
+
+
 @requires_ref
 def test_ngcf_layer_parity(tiny_graph):
     """Per-layer activation parity for the NGCF stack.  The reference's
