@@ -116,8 +116,10 @@ def ogb_setup(dataset_name: str = "ogbn-arxiv", data_dir: str = "data"):
                            directed=False)
         return (graph, labels, features, split["train"].tolist(),
                 split["valid"].tolist(), split["test"].tolist())
-    except ImportError:
-        pass
+    except Exception as exc:  # noqa: BLE001 — ogb missing OR its download/IO
+        # failed (e.g. no egress): both fall through to the synthetic
+        # stand-in so the loader chain matches its documented behavior
+        ogb_error = exc
     if os.environ.get("GNNTF_TPU_ALLOW_SYNTHETIC") == "1":
         from .synthetic import random_power_law_edges
         sizes = {"ogbn-arxiv": (169_343, 1_166_243, 128, 40)}
@@ -133,8 +135,8 @@ def ogb_setup(dataset_name: str = "ogbn-arxiv", data_dir: str = "data"):
                 order[n_tr:n_tr + n_va].tolist(),
                 order[n_tr + n_va:].tolist())
     raise FileNotFoundError(
-        f"No cached/offline data for {dataset_name!r} and ogb is not "
-        f"installed; place an npz at {cache} or set "
+        f"No cached/offline data for {dataset_name!r} and the ogb loader "
+        f"failed ({ogb_error!r}); place an npz at {cache} or set "
         f"GNNTF_TPU_ALLOW_SYNTHETIC=1 for a synthetic stand-in")
 
 

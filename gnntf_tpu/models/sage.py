@@ -28,10 +28,10 @@ class SAGELayer(Layer):
         out = act( X @ W_self + mean_{j in N(i)} X_j @ W_neigh + b )
 
     optionally L2-normalized (the paper's q-normalization step).  The
-    neighbor mean is the row-stochastic SpMM: for undirected (symmetrized)
-    graphs the framework's ``bipartite`` normalization (D^-1 A with
-    D = colsum == rowsum, ops/normalize.py) is exactly the neighbor mean;
-    edge dropout composes with it (mean over surviving neighbors,
+    neighbor mean is the true row-stochastic SpMM (``row`` normalization:
+    D_row^-1 A with D_row the per-destination degree, ops/normalize.py),
+    which is the exact neighbor mean for directed and undirected graphs
+    alike; edge dropout composes with it (mean over surviving neighbors,
     renormalized) just like every other layer."""
 
     def build(self, net: Network, outputs: int,
@@ -49,7 +49,7 @@ class SAGELayer(Layer):
         return (n, outputs)
 
     def apply(self, fw: Forward, x):
-        adj = fw.adjacency(self.graph_dropout, normalized="bipartite",
+        adj = fw.adjacency(self.graph_dropout, normalized="row",
                            add_eye="none")
         W_self, W_neigh = fw.param(self.W_self), fw.param(self.W_neigh)
         # SpMM at the narrower width (see GCNLayer): A(XW) vs (AX)W

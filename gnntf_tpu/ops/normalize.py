@@ -78,6 +78,18 @@ def normalize_adjacency(
         val = graph.val * d[graph.row]
         graph = Graph(graph.row, graph.col, val, graph.n_nodes,
                       graph.num_self_loop, graph.sorted_by_row)
+    elif normalized == "row":
+        # true row-stochastic D_row^{-1} A (D_row = per-destination degree):
+        # the exact neighbor mean for *any* graph, directed or not.  No
+        # reference counterpart (its 'bipartite' divides by colsums, which
+        # equals the destination mean only on symmetrized graphs).
+        deg = jax.ops.segment_sum(graph.val, graph.row,
+                                  num_segments=graph.n_nodes)
+        d = jnp.where(deg != 0, 1.0 / jnp.where(deg == 0, 1.0, deg), 0.0)
+        d = d.astype(graph.val.dtype)
+        val = graph.val * d[graph.row]
+        graph = Graph(graph.row, graph.col, val, graph.n_nodes,
+                      graph.num_self_loop, graph.sorted_by_row)
     elif normalized != "none":
         raise ValueError(f"Invalid matrix normalization: {normalized!r}")
     if add_eye == "after":

@@ -40,17 +40,26 @@ import numpy as np
 
 @dataclass(frozen=True)
 class BlockedCOO:
-    """Edge list re-blocked for the Pallas SpMM kernel.
+    """Edge *structure* re-blocked for the Pallas SpMM kernel.
 
     rows/cols are stored relative to their window/tile base.  All arrays are
-    flat with ``n_chunks * block_edges`` edge slots.
+    flat with ``n_chunks * block_edges`` edge slots.  Edge **values are not
+    baked in**: ``perm[e]`` is the flat slot of original edge ``e``, so the
+    caller scatters the *live* (possibly traced) ``graph.val`` into the slot
+    grid per call — per-step graph-dropout / renormalization flow through
+    the kernel unchanged.
     """
 
-    rows: jax.Array          # (C*BE,) int32, in [0, window)
-    cols: jax.Array          # (C*BE,) int32, in [0, tile)
-    vals: jax.Array          # (C*BE,) f32
-    chunk_window: jax.Array  # (C,) int32  output row-window per chunk
-    chunk_tile: jax.Array    # (C,) int32  X col-tile per chunk
+    rows: np.ndarray          # (C*BE,) int32, in [0, window)
+    cols: np.ndarray          # (C*BE,) int32, in [0, tile)
+    perm: np.ndarray          # (E,) int32 — flat slot of original edge e
+    chunk_window: np.ndarray  # (C,) int32  output row-window per chunk
+    chunk_tile: np.ndarray    # (C,) int32  X col-tile per chunk
+
+    # NOTE: layout leaves are *numpy* arrays on purpose — the layout may be
+    # built lazily inside a jit trace (first call of a training step), and
+    # jnp.asarray there would lift the constants into tracers that poison
+    # the host-side layout cache.  numpy leaves stay trace-safe constants.
     n_nodes: int
     window: int
     tile: int
@@ -63,10 +72,19 @@ class BlockedCOO:
         return int(self.chunk_window.shape[0])
 
     @property
+    def n_edges(self) -> int:
+        return int(self.perm.shape[0])
+
+    @property
     def fill_factor(self) -> float:
         """Fraction of edge slots holding real edges (1.0 = no padding)."""
-        real = float(np.sum(np.asarray(self.vals) != 0.0))
-        return real / max(1, self.rows.shape[0])
+        return self.n_edges / max(1, self.rows.shape[0])
+
+    def scatter_values(self, val: jax.Array) -> jax.Array:
+        """Place live edge values into the (C*BE,) slot grid (padding 0)."""
+        flat = jnp.zeros((self.rows.shape[0],), jnp.float32)
+        return flat.at[self.perm].set(val.astype(jnp.float32),
+                                      unique_indices=True)
 
 
 def _static_fields():
@@ -76,21 +94,20 @@ def _static_fields():
 # Register static/leaf split explicitly (jax>=0.4.36 dataclass registry).
 jax.tree_util.register_dataclass(
     BlockedCOO,
-    data_fields=["rows", "cols", "vals", "chunk_window", "chunk_tile"],
+    data_fields=["rows", "cols", "perm", "chunk_window", "chunk_tile"],
     meta_fields=list(_static_fields()),
 )
 
 
-def block_coo(row, col, val, n_nodes: int, *, window: int = 256,
+def block_coo(row, col, n_nodes: int, *, window: int = 256,
               tile: int = 256, block_edges: int = 1024) -> BlockedCOO:
-    """Build the blocked layout from COO arrays (host-side, one-time).
+    """Build the blocked layout from COO structure (host-side, one-time).
 
     Semantics match the plain segment-sum SpMM: duplicate edges sum, edge
     order inside a block is irrelevant.
     """
     row = np.asarray(row, np.int64)
     col = np.asarray(col, np.int64)
-    val = np.asarray(val, np.float32)
     n_windows = -(-n_nodes // window)
     n_tiles = -(-n_nodes // tile)
 
@@ -98,7 +115,7 @@ def block_coo(row, col, val, n_nodes: int, *, window: int = 256,
     t = col // tile
     # window-major order; tile minor. Stable so tests are deterministic.
     order = np.lexsort((t, w))
-    row, col, val, w, t = row[order], col[order], val[order], w[order], t[order]
+    row, col, w, t = row[order], col[order], w[order], t[order]
 
     # chunk id within each (window, tile) run
     block_key = w * n_tiles + t
@@ -132,7 +149,7 @@ def block_coo(row, col, val, n_nodes: int, *, window: int = 256,
     BE = block_edges
     rows_b = np.zeros(n_chunks * BE, np.int32)
     cols_b = np.zeros(n_chunks * BE, np.int32)
-    vals_b = np.zeros(n_chunks * BE, np.float32)
+    perm = np.zeros(len(row), np.int64)
     cw = np.zeros(n_chunks, np.int32)
     ct = np.zeros(n_chunks, np.int32)
 
@@ -140,7 +157,7 @@ def block_coo(row, col, val, n_nodes: int, *, window: int = 256,
         flat = chunk_id * BE + slot
         rows_b[flat] = (row - w * window).astype(np.int32)
         cols_b[flat] = (col - t * tile).astype(np.int32)
-        vals_b[flat] = val
+        perm[order] = flat  # original edge e lives at flat slot perm[e]
         first_of_chunk = np.flatnonzero(chunk_change)
         cw[:n_edge_chunks] = w[first_of_chunk].astype(np.int32)
         ct[:n_edge_chunks] = t[first_of_chunk].astype(np.int32)
@@ -151,12 +168,15 @@ def block_coo(row, col, val, n_nodes: int, *, window: int = 256,
     corder = np.argsort(cw, kind="stable")
     cw, ct = cw[corder], ct[corder]
     reindex = (corder[:, None] * BE + np.arange(BE)[None, :]).ravel()
-    rows_b, cols_b, vals_b = rows_b[reindex], cols_b[reindex], vals_b[reindex]
+    rows_b, cols_b = rows_b[reindex], cols_b[reindex]
+    # remap perm through the chunk re-sort: slot_new[reindex] = slot_old
+    inv = np.empty(n_chunks * BE, np.int64)
+    inv[reindex] = np.arange(n_chunks * BE)
+    perm = inv[perm]
 
     return BlockedCOO(
-        rows=jnp.asarray(rows_b), cols=jnp.asarray(cols_b),
-        vals=jnp.asarray(vals_b),
-        chunk_window=jnp.asarray(cw), chunk_tile=jnp.asarray(ct),
+        rows=rows_b, cols=cols_b, perm=perm.astype(np.int32),
+        chunk_window=cw, chunk_tile=ct,
         n_nodes=n_nodes, window=window, tile=tile, block_edges=block_edges,
         n_windows=n_windows, n_tiles=n_tiles,
     )

@@ -28,6 +28,7 @@ allclose vs the segment-sum SpMM.
 """
 from __future__ import annotations
 
+from collections import OrderedDict
 from functools import partial
 
 import jax
@@ -82,14 +83,15 @@ def _kernel(cw_ref, ct_ref, rows_ref, cols_ref, vals_ref, x_ref, out_ref,
 
 
 @partial(jax.jit, static_argnames=("interpret", "bf16"))
-def _spmm_blocked(blocked: BlockedCOO, x: jax.Array, interpret: bool = False,
-                  bf16: bool = False) -> jax.Array:
+def _spmm_blocked(blocked: BlockedCOO, val: jax.Array, x: jax.Array,
+                  interpret: bool = False, bf16: bool = False) -> jax.Array:
     W, T, BE = blocked.window, blocked.tile, blocked.block_edges
     F = x.shape[-1]
     n_chunks = blocked.n_chunks
     np_pad = blocked.n_windows * W
     x_pad = jnp.zeros((blocked.n_tiles * T, F), x.dtype)
     x_pad = x_pad.at[: x.shape[0]].set(x)
+    vals = blocked.scatter_values(val)  # live edge values, padding slots 0
     compute_dtype = jnp.bfloat16 if bf16 else jnp.float32
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -109,11 +111,74 @@ def _spmm_blocked(blocked: BlockedCOO, x: jax.Array, interpret: bool = False,
         out_shape=jax.ShapeDtypeStruct((np_pad, F), jnp.float32),
         interpret=interpret,
     )(blocked.chunk_window, blocked.chunk_tile,
-      blocked.rows, blocked.cols, blocked.vals, x_pad)
+      blocked.rows, blocked.cols, vals, x_pad)
     return out[: blocked.n_nodes].astype(x.dtype)
 
 
-_BLOCK_CACHE: dict = {}
+# Small LRU keyed on id(graph.row); values pin a strong reference to the
+# keying array so a recycled id can never alias a dead graph's layout, and
+# the bound keeps per-sample-subgraph workloads from leaking layouts.
+_BLOCK_CACHE: OrderedDict = OrderedDict()
+_BLOCK_CACHE_MAX = 16
+
+
+def _blocked_layout(graph: Graph, window: int, tile: int,
+                    block_edges: int) -> BlockedCOO:
+    if isinstance(graph.row, jax.core.Tracer):
+        raise TypeError(
+            "spmm_pallas requires concrete (non-traced) graph *structure*; "
+            "close over the graph instead of passing it as a jit argument "
+            "(traced edge values are fine)")
+    key = (id(graph.row), window, tile, block_edges)
+    hit = _BLOCK_CACHE.get(key)
+    if hit is not None and hit[0] is graph.row:
+        _BLOCK_CACHE.move_to_end(key)
+        return hit[1]
+    blocked = block_coo(
+        np.asarray(graph.row), np.asarray(graph.col), graph.n_nodes,
+        window=window, tile=tile, block_edges=block_edges)
+    _BLOCK_CACHE[key] = (graph.row, blocked)
+    while len(_BLOCK_CACHE) > _BLOCK_CACHE_MAX:
+        _BLOCK_CACHE.popitem(last=False)
+    return blocked
+
+
+_VJP_CACHE: OrderedDict = OrderedDict()
+
+
+def _pallas_vjp_fn(blocked: BlockedCOO, row: jax.Array, col: jax.Array,
+                   n_nodes: int, interpret: bool, bf16: bool):
+    """A differentiable (val, x) -> A @ x closure over one blocked layout.
+
+    pallas_call has no autodiff here, so the VJP is hand-specified:
+    ``dx = A^T @ dy`` (transpose SpMM) and ``dval = SDDMM(dy, x)`` — the
+    standard sparse-matmul adjoints (same math as ops.spmm.spmm_transpose /
+    ops.spmm.sddmm), computed with segment primitives.  Cached per layout
+    so jit sees a stable function identity."""
+    key = (id(blocked), interpret, bf16)
+    hit = _VJP_CACHE.get(key)
+    if hit is not None and hit[0] is blocked:
+        return hit[1]
+
+    @jax.custom_vjp
+    def f(val, x):
+        return _spmm_blocked(blocked, val, x, interpret=interpret, bf16=bf16)
+
+    def f_fwd(val, x):
+        return f(val, x), (val, x)
+
+    def f_bwd(res, dy):
+        val, x = res
+        gathered = dy[row] * val[:, None].astype(dy.dtype)
+        dx = jax.ops.segment_sum(gathered, col, num_segments=x.shape[0])
+        dval = jnp.sum(dy[row] * x[col], axis=-1).astype(val.dtype)
+        return dval, dx
+
+    f.defvjp(f_fwd, f_bwd)
+    _VJP_CACHE[key] = (blocked, f)
+    while len(_VJP_CACHE) > _BLOCK_CACHE_MAX:
+        _VJP_CACHE.popitem(last=False)
+    return f
 
 
 def spmm_pallas(graph: Graph, x: jax.Array, *, interpret: bool | None = None,
@@ -121,21 +186,19 @@ def spmm_pallas(graph: Graph, x: jax.Array, *, interpret: bool | None = None,
                 block_edges: int = 1024) -> jax.Array:
     """SpMM via the blocked one-hot Pallas kernel.
 
-    The blocked layout is built host-side once per (graph, blocking) and
-    memoized on id(graph.row) — rebuild-free inside training loops where
-    the graph is static.  Under non-TPU backends defaults to interpret
-    mode so tests exercise the same kernel code path on CPU (SURVEY §4d).
+    The blocked layout (structure only) is built host-side once per
+    (graph, blocking) and memoized; the *live* ``graph.val`` — possibly a
+    tracer carrying per-step graph-dropout/renormalization — is scattered
+    into the slot grid on every call.  Differentiable in ``val`` and ``x``
+    (custom VJP), so it drops into jitted train steps.  Under non-TPU
+    backends defaults to interpret mode so tests exercise the same kernel
+    code path on CPU (SURVEY §4d).
     """
     if not _PALLAS_OK:
         raise RuntimeError("pallas unavailable in this environment")
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
-    key = (id(graph.row), window, tile, block_edges)
-    blocked = _BLOCK_CACHE.get(key)
-    if blocked is None:
-        blocked = block_coo(
-            np.asarray(graph.row), np.asarray(graph.col),
-            np.asarray(graph.val), graph.n_nodes,
-            window=window, tile=tile, block_edges=block_edges)
-        _BLOCK_CACHE[key] = blocked
-    return _spmm_blocked(blocked, x, interpret=interpret, bf16=bf16)
+    blocked = _blocked_layout(graph, window, tile, block_edges)
+    fn = _pallas_vjp_fn(blocked, graph.row, graph.col, graph.n_nodes,
+                        interpret, bf16)
+    return fn(graph.val, x)

@@ -26,6 +26,7 @@ Implementations (select with :func:`set_spmm_impl`, default ``auto``):
 from __future__ import annotations
 
 import dataclasses
+from collections import OrderedDict
 
 import jax
 import jax.numpy as jnp
@@ -69,11 +70,15 @@ class ELLLayout:
     (non-decreasing, so the combine is a sorted segment-sum).
     """
 
-    idx: jax.Array        # (V, k) int32
-    slot: jax.Array       # (E,) int32
-    vrow_row: jax.Array   # (V,) int32
+    idx: np.ndarray        # (V, k) int32
+    slot: np.ndarray       # (E,) int32
+    vrow_row: np.ndarray   # (V,) int32
     k: int
     n_nodes: int
+
+    # Leaves are numpy on purpose: the layout may be built lazily inside a
+    # jit trace, where jnp.asarray would lift them into tracers that poison
+    # the host-side cache (numpy arrays stay trace-safe constants).
 
     @property
     def n_vrows(self) -> int:
@@ -99,9 +104,9 @@ def build_ell(row: np.ndarray, col: np.ndarray, n_nodes: int,
             built = build_ell_native(row, col, n_nodes, k, v_total)
             if built is not None:
                 idx, slot, vrow_row = built
-                return ELLLayout(idx=jnp.asarray(idx),
-                                 slot=jnp.asarray(slot, jnp.int32),
-                                 vrow_row=jnp.asarray(vrow_row),
+                return ELLLayout(idx=np.asarray(idx, np.int32),
+                                 slot=np.asarray(slot, np.int32),
+                                 vrow_row=np.asarray(vrow_row, np.int32),
                                  k=k, n_nodes=n_nodes)
     order = None
     if e and np.any(row[1:] < row[:-1]):
@@ -129,23 +134,28 @@ def build_ell(row: np.ndarray, col: np.ndarray, n_nodes: int,
     vrow_row = np.repeat(np.arange(n_nodes, dtype=np.int32), vrows_per_row)
     if vrow_row.shape[0] == 0:
         vrow_row = np.zeros(1, np.int32)
-    return ELLLayout(idx=jnp.asarray(idx), slot=jnp.asarray(slot, jnp.int32),
-                     vrow_row=jnp.asarray(vrow_row), k=k, n_nodes=n_nodes)
+    return ELLLayout(idx=idx, slot=slot.astype(np.int32),
+                     vrow_row=vrow_row, k=k, n_nodes=n_nodes)
 
 
-_ELL_CACHE: dict = {}
+_ELL_CACHE: OrderedDict = OrderedDict()
+_ELL_CACHE_MAX = 32
 
 
 def _ell_layout(graph: Graph, k: int) -> ELLLayout:
     # keyed on id() but a strong reference to the keying array is kept in
-    # the value, so a recycled id can never alias a dead graph's layout
+    # the value, so a recycled id can never alias a dead graph's layout;
+    # bounded LRU so per-sample-subgraph workloads don't leak layouts
     key = (id(graph.row), k)
     hit = _ELL_CACHE.get(key)
     if hit is not None and hit[0] is graph.row:
+        _ELL_CACHE.move_to_end(key)
         return hit[1]
     layout = build_ell(np.asarray(graph.row), np.asarray(graph.col),
                        graph.n_nodes, k)
     _ELL_CACHE[key] = (graph.row, layout)
+    while len(_ELL_CACHE) > _ELL_CACHE_MAX:
+        _ELL_CACHE.popitem(last=False)
     return layout
 
 

@@ -80,6 +80,25 @@ def test_bipartite_normalization_matches_oracle():
                                rtol=1e-5, atol=1e-6)
 
 
+def test_row_normalization_is_true_neighbor_mean_on_directed():
+    """'row' mode divides by the per-destination degree, so A_hat @ X is the
+    exact neighbor mean even for directed (non-symmetrized) graphs — the
+    case where the reference-style 'bipartite' (colsum) mode is wrong."""
+    rng = np.random.RandomState(2)
+    n = 11
+    src, dst = np.nonzero(rng.rand(n, n) < 0.35)
+    g = from_edges(src, dst, n_nodes=n, directed=True)  # deliberately directed
+    normed = normalize_adjacency(g, graph_dropout=0.0, normalized="row")
+    dense = dense_of(g)
+    rowsum = dense.sum(axis=1)
+    d = np.where(rowsum != 0, 1.0 / np.where(rowsum == 0, 1, rowsum), 0.0)
+    np.testing.assert_allclose(dense_of(normed), d[:, None] * dense,
+                               rtol=1e-5, atol=1e-6)
+    # and the induced SpMM is a mean: rows of A_hat sum to 1 (or 0)
+    sums = dense_of(normed).sum(axis=1)
+    assert np.all((np.abs(sums - 1) < 1e-5) | (np.abs(sums) < 1e-7))
+
+
 def test_isolated_nodes_divide_no_nan():
     g = from_edges([0], [1], n_nodes=4)  # nodes 2,3 isolated
     normed = normalize_adjacency(g, graph_dropout=0.0)
@@ -179,6 +198,28 @@ class TestELL:
         np.testing.assert_allclose(np.asarray(spmm_ell(g, x)),
                                    np.asarray(spmm_segment(g, x)),
                                    rtol=1e-4, atol=1e-5)
+
+    def test_layout_cache_survives_tracing(self):
+        """The layout cache must hold trace-safe (numpy) constants: a layout
+        first built *inside* one jit trace is reused by a different trace
+        (tracers leaked into the cache raise UnexpectedTracerError here)."""
+        import dataclasses as dc
+        from gnntf_tpu.ops.spmm import spmm_ell
+
+        g, rng = self._graph(seed=11)
+        x = jnp.asarray(rng.randn(g.n_nodes, 4), jnp.float32)
+
+        @jax.jit
+        def first(val):
+            return spmm_ell(dc.replace(g, val=val), x)
+
+        @jax.jit
+        def second(val):
+            return 2.0 * spmm_ell(dc.replace(g, val=val), x)
+
+        a = np.asarray(first(g.val))
+        b = np.asarray(second(g.val))
+        np.testing.assert_allclose(b, 2.0 * a, rtol=1e-5)
 
     def test_traced_values_concrete_structure(self):
         """Structure is a trace constant, values traced (the graph-dropout

@@ -207,33 +207,54 @@ def test_gat_head_modes(data):
     assert np.all(np.isfinite(np.asarray(out)))
 
 
-def test_sage_mean_aggregation_invariant(data):
-    """With identity weights forced in, the neighbor branch of SAGELayer must
-    equal the exact per-node neighbor mean (bipartite D^-1 A on a symmetrized
-    graph == row mean, ops/normalize.py)."""
+def _sage_neighbor_mean(graph, features):
+    """Run a SAGELayer with W_self := 0, W_neigh := I; returns its output."""
     import gnntf_tpu as gt
     from gnntf_tpu.models import SAGELayer
 
-    d = data["features"].shape[1]
-    m = gt.GNN(data["adj"], data["features"])
+    d = features.shape[1]
+    m = gt.GNN(graph, features)
     m.add(SAGELayer(d, activation=None, bias=False))
-    params = m.init(0)
-    eye = jnp.eye(d, dtype=jnp.float32)
-    flat = dict(params)
-    names = sorted(k for k in flat if flat[k].shape == (d, d))
+    params = dict(m.init(0))
+    names = sorted(k for k in params if params[k].shape == (d, d))
     assert len(names) == 2  # W_self, W_neigh (creation order)
-    flat[names[0]] = jnp.zeros((d, d), jnp.float32)  # W_self := 0
-    flat[names[1]] = eye                             # W_neigh := I
-    out = np.asarray(m.apply(type(params)(flat) if not isinstance(params, dict)
-                             else flat, m.features, training=False))
+    params[names[0]] = jnp.zeros((d, d), jnp.float32)
+    params[names[1]] = jnp.eye(d, dtype=jnp.float32)
+    return np.asarray(m.apply(params, m.features, training=False))
 
-    g, x = data["adj"], np.asarray(data["features"], np.float64)
+
+def _dense_row_mean(g, x):
     n = g.n_nodes
     dense = np.zeros((n, n))
     np.add.at(dense, (np.asarray(g.row), np.asarray(g.col)), np.asarray(g.val))
     deg = dense.sum(axis=1, keepdims=True)
-    expected = np.divide(dense @ x, deg, out=np.zeros_like(dense @ x),
-                         where=deg != 0)
+    return np.divide(dense @ x, deg, out=np.zeros_like(dense @ x),
+                     where=deg != 0)
+
+
+def test_sage_mean_aggregation_invariant(data):
+    """With identity weights forced in, the neighbor branch of SAGELayer must
+    equal the exact per-node neighbor mean ('row' normalization,
+    ops/normalize.py)."""
+    out = _sage_neighbor_mean(data["adj"], data["features"])
+    expected = _dense_row_mean(data["adj"],
+                               np.asarray(data["features"], np.float64))
+    np.testing.assert_allclose(out, expected, rtol=1e-4, atol=1e-5)
+
+
+def test_sage_mean_correct_on_directed_graph():
+    """The neighbor mean must be exact on *directed* graphs too — the case
+    where colsum-based ('bipartite') normalization silently computes the
+    wrong mean."""
+    import gnntf_tpu as gt
+
+    rng = np.random.RandomState(4)
+    src = rng.randint(0, 30, 90)
+    dst = rng.randint(0, 30, 90)
+    g = gt.from_edges(src, dst, n_nodes=30, directed=True)
+    feats = rng.rand(30, 6).astype(np.float32)
+    out = _sage_neighbor_mean(g, feats)
+    expected = _dense_row_mean(g, np.asarray(feats, np.float64))
     np.testing.assert_allclose(out, expected, rtol=1e-4, atol=1e-5)
 
 
@@ -268,4 +289,4 @@ def test_gin_learns_synthetic_and_eps_trains(data):
     eps_keys = [k for k, v in p0.items() if v.shape == (1, 1)]
     assert eps_keys
     trained = dict(m.params)
-    assert any(abs(float(np.asarray(trained[k]))) > 0 for k in eps_keys)
+    assert any(abs(np.asarray(trained[k]).item()) > 1e-3 for k in eps_keys)

