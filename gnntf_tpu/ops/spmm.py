@@ -8,25 +8,35 @@ Implementations (select with :func:`set_spmm_impl`, default ``auto``):
 
 * ``segment`` — gather + sorted segment-sum.  Simple, fully dynamic
   (works on traced edge structure), and the baseline for everything else.
-* ``ell`` — row-split padded ELL: rows are split into virtual rows of at
-  most ``k`` edges, the per-virtual-row reduce is a *dense* axis sum, and
-  only the small virtual-row -> row combine is a scatter.  Measured 2.2x
-  faster than ``segment`` on TPU v5e at ogbn-arxiv scale
-  (experiments/profile_spmm.py: 12.3 ms vs 27.6 ms per SpMM, E=2.3M,
-  F=128, k=8) because the TPU's weak spot is the per-edge scatter/gather
-  grain, and ELL moves almost all work onto dense-shaped ops.  The
-  layout (indices) is built host-side once per graph structure and
-  memoized; edge *values* stay dynamic, so per-step graph-dropout and
-  renormalization work unchanged.
+* ``ell`` — row-split padded ELL with duplicate coalescing: rows are
+  split into virtual rows of at most ``k`` edges, the per-virtual-row
+  reduce is a *dense* axis sum, and only the small virtual-row -> row
+  combine is a scatter.  The layout (indices) is built host-side once per
+  graph structure and memoized; edge *values* stay dynamic, so per-step
+  graph-dropout and renormalization work unchanged.
+* ``hybrid`` — ELL plus **hub densification**: the SpMM bottleneck on TPU
+  is the gather-unit *issue rate* (~80-190 M rows/s regardless of F or
+  dtype, documentation/performance.md), so the rows gathered most often
+  are moved off the gather path entirely.  The top ``n_hubs`` source
+  nodes by edge count (power-law graphs: top-128 sources carry ~50% of
+  edges) are handled as a dense (N, H) slice — live edge values scattered
+  element-wise (cheap; the scatter unit sustains ~1 G elem/s) and one
+  (N, H) @ (H, F) MXU matmul — while only the remaining minority of edges
+  take the gather path.  Measured on TPU v5e at ogbn-arxiv scale
+  (E=2.3M, F=128): 5.45 ms/SpMM = 428 M edges/s vs 12.4 ms (ELL r1) and
+  27.6 ms (segment) — the dense hub matmul overlaps to near-zero marginal
+  cost.  Falls back to plain ELL when hub coverage is low or the dense
+  slice would exceed the memory cap.
 * ``pallas`` — blocked one-hot MXU kernel (`gnntf_tpu.ops.pallas`);
   competitive only at high blocked fill factors.
-* ``auto`` — ``ell`` for concrete (non-traced) edge structure above
+* ``auto`` — ``hybrid`` for concrete (non-traced) edge structure above
   ``_ELL_MIN_EDGES`` edges, else ``segment``.
 """
 from __future__ import annotations
 
 import dataclasses
 from collections import OrderedDict
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -41,7 +51,7 @@ _ELL_DEFAULT_K = 8
 
 def set_spmm_impl(name: str) -> None:
     global _SPMM_IMPL
-    if name not in ("auto", "segment", "ell", "pallas"):
+    if name not in ("auto", "segment", "ell", "hybrid", "pallas"):
         raise ValueError(name)
     _SPMM_IMPL = name
 
@@ -68,13 +78,29 @@ class ELLLayout:
     scatter is sorted and unique);
     ``vrow_row[v]`` — the real destination row of virtual row ``v``
     (non-decreasing, so the combine is a sorted segment-sum).
+
+    **Duplicate coalescing** (``dup_order``/``dup_seg`` set): repeated
+    (row, col) pairs — ubiquitous under the reference's symmetrization
+    convention, which doubles every reciprocal edge
+    (graph_manipulation.py:29; DGL Planetoid graphs arrive bidirectional,
+    so ~100% of their edges are duplicated) — are coalesced at the layout
+    level.  Live edge values are summed per unique pair *before* the
+    gather (``val_u = segment_sum(val[dup_order], dup_seg)``), which is
+    exact for any downstream linear use (including per-edge dropout drawn
+    on the original entries), and the gather/k-sum/combine then process
+    only ``n_unique`` edges.  On graphs with heavy duplication this halves
+    the gather work — the SpMM bottleneck on TPU is gather *issue rate*,
+    not bandwidth (documentation/performance.md).
     """
 
     idx: np.ndarray        # (V, k) int32
-    slot: np.ndarray       # (E,) int32
+    slot: np.ndarray       # (E_u,) int32 — per *unique* edge
     vrow_row: np.ndarray   # (V,) int32
     k: int
     n_nodes: int
+    dup_order: Optional[np.ndarray] = None  # (E,) sort to (row,col) order
+    dup_seg: Optional[np.ndarray] = None    # (E,) unique-pair id, sorted
+    n_unique: int = 0
 
     # Leaves are numpy on purpose: the layout may be built lazily inside a
     # jit trace, where jnp.asarray would lift them into tracers that poison
@@ -84,10 +110,23 @@ class ELLLayout:
     def n_vrows(self) -> int:
         return int(self.idx.shape[0])
 
+    def coalesce_values(self, val):
+        """Sum live edge values over duplicate (row, col) pairs; identity
+        when the structure has no duplicates."""
+        if self.dup_order is None:
+            return val
+        return jax.ops.segment_sum(val[self.dup_order], self.dup_seg,
+                                   num_segments=self.n_unique,
+                                   indices_are_sorted=True)
+
 
 def build_ell(row: np.ndarray, col: np.ndarray, n_nodes: int,
-              k: int = _ELL_DEFAULT_K) -> ELLLayout:
+              k: int = _ELL_DEFAULT_K, dedup: bool = True) -> ELLLayout:
     """Build the row-split ELL layout (host, one-time per structure).
+
+    With ``dedup`` (default), duplicate (row, col) pairs are coalesced: the
+    layout indexes only unique pairs and records the order/segment maps
+    that sum live values per pair at call time (see ELLLayout docstring).
 
     Prefers the single-pass C++ builder (native/gnntf_native.cc
     ``gnntf_build_ell``, O(E) counting pass, any edge order); falls back
@@ -96,6 +135,18 @@ def build_ell(row: np.ndarray, col: np.ndarray, n_nodes: int,
     row = np.asarray(row, np.int64)
     col = np.asarray(col, np.int64)
     e = row.shape[0]
+    if dedup and e:
+        order = np.lexsort((col, row))
+        rs, cs = row[order], col[order]
+        new = np.ones(e, bool)
+        new[1:] = (rs[1:] != rs[:-1]) | (cs[1:] != cs[:-1])
+        n_u = int(new.sum())
+        if n_u < e:
+            uid = np.cumsum(new, dtype=np.int64) - 1
+            base = build_ell(rs[new], cs[new], n_nodes, k, dedup=False)
+            return dataclasses.replace(
+                base, dup_order=order.astype(np.int32),
+                dup_seg=uid.astype(np.int32), n_unique=n_u)
     if e and n_nodes < 2**31 and row.max() < n_nodes and col.max() <= n_nodes:
         deg = np.bincount(row, minlength=n_nodes)
         v_total = int(np.sum(-(-deg // k)))
@@ -159,6 +210,23 @@ def _ell_layout(graph: Graph, k: int) -> ELLLayout:
     return layout
 
 
+def _ell_apply(layout: ELLLayout, val: jax.Array, x: jax.Array,
+               n_nodes: int, slots_sorted: bool = True) -> jax.Array:
+    """The ELL compute: slot scatter -> padded gather -> dense k-sum ->
+    sorted virtual-row combine.  ``val`` must be per layout edge."""
+    v_total = layout.n_vrows
+    vals = jnp.zeros((v_total * layout.k,), x.dtype)
+    vals = vals.at[layout.slot].set(val.astype(x.dtype),
+                                    indices_are_sorted=slots_sorted,
+                                    unique_indices=True)
+    vals = vals.reshape(v_total, layout.k)
+    xp = jnp.concatenate([x, jnp.zeros((1, x.shape[1]), x.dtype)], axis=0)
+    partial = (xp[layout.idx] * vals[:, :, None]).sum(axis=1)
+    return jax.ops.segment_sum(partial, layout.vrow_row,
+                               num_segments=n_nodes,
+                               indices_are_sorted=True)
+
+
 def spmm_ell(graph: Graph, x: jax.Array, k: int = _ELL_DEFAULT_K) -> jax.Array:
     """SpMM via the row-split ELL layout (see module docstring).
 
@@ -167,17 +235,131 @@ def spmm_ell(graph: Graph, x: jax.Array, k: int = _ELL_DEFAULT_K) -> jax.Array:
     argument, so the structure is a trace constant.  ``graph.val`` may be
     traced (dropout/renormalization happen per step)."""
     layout = _ell_layout(graph, k)
-    v_total = layout.n_vrows
-    vals = jnp.zeros((v_total * layout.k,), x.dtype)
-    vals = vals.at[layout.slot].set(graph.val.astype(x.dtype),
-                                    indices_are_sorted=graph.sorted_by_row,
-                                    unique_indices=True)
-    vals = vals.reshape(v_total, layout.k)
-    xp = jnp.concatenate([x, jnp.zeros((1, x.shape[1]), x.dtype)], axis=0)
-    partial = (xp[layout.idx] * vals[:, :, None]).sum(axis=1)
-    return jax.ops.segment_sum(partial, layout.vrow_row,
-                               num_segments=graph.n_nodes,
-                               indices_are_sorted=True)
+    val = layout.coalesce_values(graph.val)
+    slots_sorted = True if layout.dup_order is not None \
+        else graph.sorted_by_row
+    return _ell_apply(layout, val, x, graph.n_nodes, slots_sorted)
+
+
+@dataclasses.dataclass(frozen=True)
+class HybridLayout:
+    """Host-built layout for the hub-densified SpMM (module docstring).
+
+    Unique-edge maps: ``dup_order`` sorts original edges to (row, col)
+    order, ``dup_seg`` (when duplicates exist) sums them per unique pair.
+    The unique edges are then split: ``hub_sel`` (source in the top
+    ``n_hubs`` nodes) are scattered into the dense (N, H) slice at flat
+    positions ``hub_flat``; ``rest_sel`` take the ELL gather path."""
+
+    rest: ELLLayout
+    dup_order: Optional[np.ndarray]  # (E,) or None (identity)
+    dup_seg: Optional[np.ndarray]    # (E,) or None (no duplicates)
+    n_unique: int
+    rest_sel: np.ndarray             # (E_rest,) int32 into unique edges
+    hub_sel: np.ndarray              # (E_hub,) int32 into unique edges
+    hub_flat: np.ndarray             # (E_hub,) int32 into the (N*H,) slice
+    hub_ids: np.ndarray              # (H,) int32 hub node ids
+    n_hubs: int
+    n_nodes: int
+
+    def unique_values(self, val: jax.Array) -> jax.Array:
+        if self.dup_order is not None:
+            val = val[self.dup_order]
+        if self.dup_seg is not None:
+            val = jax.ops.segment_sum(val, self.dup_seg,
+                                      num_segments=self.n_unique,
+                                      indices_are_sorted=True)
+        return val
+
+
+_HUB_COUNT = 128
+_HUB_MIN_COVERAGE = 0.15       # below this the dense slice isn't worth it
+_HUB_MEM_CAP = 512 * 1024 ** 2  # max bytes for the dense (N, H) f32 slice
+
+
+def build_hybrid(row, col, n_nodes: int, k: int = _ELL_DEFAULT_K,
+                 n_hubs: int = _HUB_COUNT,
+                 min_coverage: float = _HUB_MIN_COVERAGE,
+                 mem_cap: int = _HUB_MEM_CAP) -> Optional[HybridLayout]:
+    """Build the hub-densified layout, or None when hub densification
+    doesn't pay (low hub coverage, tiny graph, or dense-slice memory cap
+    exceeded) — the caller then falls back to plain ELL."""
+    row = np.asarray(row, np.int64)
+    col = np.asarray(col, np.int64)
+    e = row.shape[0]
+    if e == 0 or n_nodes * n_hubs * 4 > mem_cap:
+        return None
+    order = np.lexsort((col, row))
+    rs, cs = row[order], col[order]
+    new = np.ones(e, bool)
+    new[1:] = (rs[1:] != rs[:-1]) | (cs[1:] != cs[:-1])
+    n_u = int(new.sum())
+    if n_u == e:
+        dup_seg = None
+        ru, cu = rs, cs
+        dup_order = None if np.array_equal(order, np.arange(e)) \
+            else order.astype(np.int32)
+    else:
+        dup_seg = (np.cumsum(new, dtype=np.int64) - 1).astype(np.int32)
+        dup_order = order.astype(np.int32)
+        ru, cu = rs[new], cs[new]
+    cdeg = np.bincount(cu, minlength=n_nodes)
+    n_hubs = min(n_hubs, int(np.sum(cdeg > 0)))
+    if n_hubs == 0:
+        return None
+    hub_ids = np.argpartition(-cdeg, n_hubs - 1)[:n_hubs]
+    coverage = float(cdeg[hub_ids].sum()) / max(1, n_u)
+    if coverage < min_coverage:
+        return None
+    hub_pos = np.full(n_nodes, -1, np.int64)
+    hub_pos[hub_ids] = np.arange(n_hubs)
+    is_hub = hub_pos[cu] >= 0
+    rest = build_ell(ru[~is_hub], cu[~is_hub], n_nodes, k, dedup=False)
+    return HybridLayout(
+        rest=rest, dup_order=dup_order, dup_seg=dup_seg, n_unique=n_u,
+        rest_sel=np.flatnonzero(~is_hub).astype(np.int32),
+        hub_sel=np.flatnonzero(is_hub).astype(np.int32),
+        hub_flat=(ru[is_hub] * n_hubs + hub_pos[cu[is_hub]]).astype(np.int32),
+        hub_ids=hub_ids.astype(np.int32), n_hubs=n_hubs, n_nodes=n_nodes)
+
+
+_HYBRID_CACHE: OrderedDict = OrderedDict()
+_NO_HUBS = "no-hubs"  # sentinel: hybrid build declined, use plain ELL
+
+
+def _hybrid_layout(graph: Graph, k: int):
+    key = (id(graph.row), k)
+    hit = _HYBRID_CACHE.get(key)
+    if hit is not None and hit[0] is graph.row:
+        _HYBRID_CACHE.move_to_end(key)
+        return hit[1]
+    layout = build_hybrid(np.asarray(graph.row), np.asarray(graph.col),
+                          graph.n_nodes, k)
+    _HYBRID_CACHE[key] = (graph.row, layout if layout is not None
+                          else _NO_HUBS)
+    while len(_HYBRID_CACHE) > _ELL_CACHE_MAX:
+        _HYBRID_CACHE.popitem(last=False)
+    return _HYBRID_CACHE[key][1]
+
+
+def spmm_hybrid(graph: Graph, x: jax.Array,
+                k: int = _ELL_DEFAULT_K) -> jax.Array:
+    """Hub-densified SpMM (see module docstring): dense (N, H) MXU matmul
+    for edges sourced at the ``H`` highest-traffic nodes, ELL gather for
+    the rest.  Semantically identical to ``spmm_segment`` (duplicates sum,
+    live values flow through), differentiable, jit-compatible with traced
+    values."""
+    layout = _hybrid_layout(graph, k)
+    if layout is _NO_HUBS or layout is None:
+        return spmm_ell(graph, x, k)
+    val_u = layout.unique_values(graph.val)
+    out = _ell_apply(layout.rest, val_u[layout.rest_sel], x, graph.n_nodes)
+    dense = jnp.zeros((graph.n_nodes * layout.n_hubs,), x.dtype)
+    dense = dense.at[layout.hub_flat].set(
+        val_u[layout.hub_sel].astype(x.dtype), unique_indices=True)
+    dense = dense.reshape(graph.n_nodes, layout.n_hubs)
+    return out + jnp.dot(dense, x[layout.hub_ids],
+                         preferred_element_type=x.dtype)
 
 
 def _structure_is_concrete(graph: Graph) -> bool:
@@ -188,12 +370,14 @@ def spmm(graph: Graph, x: jax.Array) -> jax.Array:
     """Dispatching SpMM entry point used by all propagation layers."""
     impl = _SPMM_IMPL
     if impl == "auto":
-        impl = ("ell" if graph.n_edges >= _ELL_MIN_EDGES
+        impl = ("hybrid" if graph.n_edges >= _ELL_MIN_EDGES
                 and _structure_is_concrete(graph) else "segment")
     if impl == "pallas":
         from .pallas.spmm import spmm_pallas
 
         return spmm_pallas(graph, x)
+    if impl == "hybrid" and _structure_is_concrete(graph):
+        return spmm_hybrid(graph, x)
     if impl == "ell" and _structure_is_concrete(graph):
         return spmm_ell(graph, x)
     return spmm_segment(graph, x)

@@ -199,6 +199,77 @@ class TestELL:
                                    np.asarray(spmm_segment(g, x)),
                                    rtol=1e-4, atol=1e-5)
 
+    def test_duplicate_edges_coalesced_in_layout(self):
+        """Duplicate (row, col) pairs are coalesced at the layout level:
+        the gather runs over unique pairs while live values (e.g. per-edge
+        dropout draws) are summed per pair — numerically identical to the
+        duplicate-summing segment path."""
+        import dataclasses as dc
+        from gnntf_tpu.ops.spmm import build_ell, spmm_ell, spmm_segment
+
+        src = np.array([0, 0, 0, 1, 1, 2, 2, 2, 2])
+        dst = np.array([1, 1, 2, 2, 2, 0, 0, 1, 1])
+        vals = np.arange(1.0, 10.0, dtype=np.float32)
+        g = gt.from_edges(src, dst, vals, n_nodes=4, directed=True)
+        lay = build_ell(np.asarray(g.row), np.asarray(g.col), 4, k=2)
+        assert lay.dup_order is not None and lay.n_unique == 5
+        x = jnp.asarray(np.random.RandomState(0).randn(4, 6), jnp.float32)
+        np.testing.assert_allclose(np.asarray(spmm_ell(g, x, k=2)),
+                                   np.asarray(spmm_segment(g, x)),
+                                   rtol=1e-5, atol=1e-6)
+        # gradients through the coalescing map flow back per ORIGINAL edge
+        f_ell = lambda v: jnp.sum(spmm_ell(dc.replace(g, val=v), x, k=2) ** 2)
+        f_seg = lambda v: jnp.sum(
+            spmm_segment(dc.replace(g, val=v), x) ** 2)
+        np.testing.assert_allclose(np.asarray(jax.grad(f_ell)(g.val)),
+                                   np.asarray(jax.grad(f_seg)(g.val)),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_hybrid_matches_segment_with_grads(self):
+        """Hub-densified SpMM == segment SpMM on a hubby graph, with traced
+        values and gradients (the training pattern)."""
+        import dataclasses as dc
+        from gnntf_tpu.ops.spmm import (_hybrid_layout, spmm_hybrid,
+                                        spmm_segment)
+
+        rng = np.random.RandomState(9)
+        n, e = 300, 4000
+        # power-law-ish: half the edges source from 10 hub nodes
+        hub_src = rng.randint(0, 10, e // 2)
+        src = np.concatenate([hub_src, rng.randint(0, n, e - e // 2)])
+        dst = rng.randint(0, n, e)
+        g = gt.from_edges(src, dst, rng.rand(e).astype(np.float32),
+                          n_nodes=n, directed=False)
+        lay = _hybrid_layout(g, 8)
+        assert lay is not None and not isinstance(lay, str)  # hubs engaged
+        x = jnp.asarray(rng.randn(n, 16), jnp.float32)
+        np.testing.assert_allclose(np.asarray(spmm_hybrid(g, x)),
+                                   np.asarray(spmm_segment(g, x)),
+                                   rtol=1e-4, atol=1e-5)
+
+        @jax.jit
+        def f_h(val):
+            return jnp.sum(spmm_hybrid(dc.replace(g, val=val), x) ** 2)
+
+        gr = jax.grad(f_h)(g.val)
+        gr_ref = jax.grad(lambda v: jnp.sum(
+            spmm_segment(dc.replace(g, val=v), x) ** 2))(g.val)
+        np.testing.assert_allclose(np.asarray(gr), np.asarray(gr_ref),
+                                   rtol=1e-3, atol=1e-4)
+
+    def test_hybrid_declines_gracefully(self):
+        """build_hybrid returns None past the dense-slice memory cap and
+        spmm_hybrid falls back to ELL numerics."""
+        from gnntf_tpu.ops.spmm import build_hybrid, spmm_hybrid, spmm_segment
+
+        g, rng = self._graph(seed=13)
+        assert build_hybrid(np.asarray(g.row), np.asarray(g.col),
+                            g.n_nodes, mem_cap=0) is None
+        x = jnp.asarray(rng.randn(g.n_nodes, 8), jnp.float32)
+        np.testing.assert_allclose(np.asarray(spmm_hybrid(g, x)),
+                                   np.asarray(spmm_segment(g, x)),
+                                   rtol=1e-4, atol=1e-5)
+
     def test_layout_cache_survives_tracing(self):
         """The layout cache must hold trace-safe (numpy) constants: a layout
         first built *inside* one jit trace is reused by a different trace

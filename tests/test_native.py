@@ -102,7 +102,7 @@ def test_build_ell_native_matches_numpy():
         import unittest.mock as mock
         with mock.patch("gnntf_tpu.utils.native.build_ell_native",
                         return_value=None):
-            ref = spmm_mod.build_ell(r, c, n, k)
+            ref = spmm_mod.build_ell(r, c, n, k, dedup=False)
         idx, slot, vrow_row = nat
         np.testing.assert_array_equal(idx, np.asarray(ref.idx))
         np.testing.assert_array_equal(slot, np.asarray(ref.slot))
