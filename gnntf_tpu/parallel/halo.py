@@ -6,32 +6,39 @@ sharded by contiguous row range, each device owns the edges whose
 ``all_to_all`` of exactly the boundary ("halo") source rows each device
 needs — not a full feature all-gather.  XLA lowers the all_to_all onto
 ICI; the local aggregation is the same sorted segment-sum the single-chip
-path uses.  Fully differentiable (all_to_all and segment_sum both carry
-gradients), so it drops into a jitted train step.
+path uses.  Fully differentiable (all_to_all, all_gather and segment_sum
+all carry gradients), so it drops into a jitted train step —
+``fit(mesh=..., spmm="halo")`` routes every propagation layer through it.
+
+**Degree-skew robustness (hub replication).**  The all_to_all buffer is
+padded to the *largest* pairwise send list, so on power-law graphs a
+single 10K-degree hub would inflate every device's buffer.  Source nodes
+whose rows are needed by ``hub_fanout``-or-more remote partitions are
+therefore taken off the pairwise path entirely and served by one small
+``all_gather`` of just those rows (each device contributes the hubs it
+owns); the pairwise ``S`` then reflects only genuinely local boundary
+traffic.  The gathered-table layout per device is
+``[own rows | pairwise halo (P*S) | replicated hubs (P*Hq)]``.
+
+**Live edge values.**  The partition stores an edge -> slot permutation,
+not baked values: :func:`halo_spmm` scatters the caller's (possibly
+traced) per-edge values into the padded per-device grid at call time, so
+per-step edge dropout and renormalization flow through the executor.
 
 No reference counterpart (the reference is single-device eager TF,
 SURVEY §2.4).  Correctness is CI-tested on an 8-device virtual CPU mesh
-against the dense oracle, including gradients.
-
-Layout (host-precomputed, static shapes):
-  * nodes padded to ``P * Nr``; device p owns rows [p*Nr, (p+1)*Nr);
-  * ``send_idx[q, p, s]`` — local row indices device q sends to device p
-    (padded with 0; duplicates are harmless);
-  * per-device edge list (rows/cols/vals padded with zero-value entries),
-    with cols remapped into the concatenated [own rows | halo] table:
-    col c owned by q != p maps to Nr + q*S + position of c in
-    ``send_idx[q, p]``.
+against the dense oracle, including gradients and a 10K-degree-hub graph.
 """
 from __future__ import annotations
 
 from dataclasses import dataclass
 from functools import partial
-from typing import Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..graph.coo import Graph
 from .dist import EDGE_AXIS
@@ -39,106 +46,246 @@ from .dist import EDGE_AXIS
 
 @dataclass(frozen=True)
 class HaloPartition:
-    """Host-precomputed partition plan for :func:`halo_spmm`."""
+    """Host-precomputed partition plan for :func:`halo_spmm`.
 
-    rows: jax.Array       # (P, Emax) int32 — local destination offsets
-    cols: jax.Array       # (P, Emax) int32 — remapped source positions
-    vals: jax.Array       # (P, Emax) f32
-    send_idx: jax.Array   # (P, P, S) int32 — send_idx[q, p]: q -> p rows
-    n_nodes: int          # true (unpadded) node count
+    Leaves are numpy on purpose (trace-safe constants; the plan may be
+    closed over by a jitted train step).
+    """
+
+    rows: np.ndarray       # (P, Emax) int32 — local destination offsets
+    cols: np.ndarray       # (P, Emax) int32 — positions in the local table
+    edge_slot: np.ndarray  # (E,) int64 — original edge -> flat (P*Emax) slot
+    base_val: np.ndarray   # (E,) — build-time edge values (val=None path)
+    send_idx: np.ndarray   # (P, P, S) int32 — send_idx[q, p]: q -> p rows
+    hub_idx: np.ndarray    # (P, Hq) int32 — hub rows each owner contributes
+    n_nodes: int           # true (unpadded) node count
+    n_edges: int
     n_parts: int
     rows_per_part: int
-    halo_size: int        # S
+    halo_size: int         # S — pairwise all_to_all rows per (q, p)
+    hub_rows: int          # Hq — all_gather rows per owner (0 = no hubs)
 
     @property
     def padded_nodes(self) -> int:
         return self.n_parts * self.rows_per_part
 
+    @property
+    def edges_per_part(self) -> int:
+        return int(self.rows.shape[1])
 
-def build_halo_partition(graph: Graph, n_parts: int) -> HaloPartition:
-    """Partition a (row-sorted) graph for halo execution (host, one-time)."""
+    @property
+    def halo_bytes_per_device(self) -> int:
+        """all_to_all + all_gather payload rows (x4 bytes per feature)."""
+        return 4 * (self.n_parts * self.halo_size
+                    + self.n_parts * self.hub_rows)
+
+
+def build_halo_partition(graph: Graph, n_parts: int, *, hub_fanout: int = 3,
+                         max_hubs: int = 4096,
+                         halo_cap: Optional[int] = -1) -> HaloPartition:
+    """Partition a graph for halo execution (host, one-time, vectorized).
+
+    ``hub_fanout`` — a source node needed by at least this many *remote*
+    partitions is replicated via all_gather instead of the pairwise
+    all_to_all (cap: ``max_hubs`` nodes, highest-fanout first).  Set
+    ``hub_fanout=0`` to disable hub replication.
+
+    ``halo_cap`` — hard bound on the per-pair all_to_all row count ``S``:
+    any (sender, receiver) pair exceeding it spills its highest-fanout
+    columns into the replicated hub table (spilling a column shrinks every
+    pair that needs it), so one skewed boundary cannot inflate every
+    device's padded buffer.  ``-1`` (default) = auto (the 95th percentile
+    of nonzero pair sizes, at least 64); ``None`` = uncapped.
+    """
     row = np.asarray(graph.row, np.int64)
     col = np.asarray(graph.col, np.int64)
     val = np.asarray(graph.val)
+    e = row.shape[0]
     n = graph.n_nodes
     nr = -(-n // n_parts)
 
-    owner = row // nr
-    send_lists = [[[] for _ in range(n_parts)] for _ in range(n_parts)]
-    # per-partition remap of needed remote cols
-    part_edges = []
-    for p in range(n_parts):
-        mask = owner == p
-        r = row[mask] - p * nr
-        c = col[mask]
-        v = val[mask]
-        c_owner = c // nr
-        remote_pos = np.empty_like(c)
-        # own cols map directly
-        own = c_owner == p
-        remote_pos[own] = c[own] - p * nr
-        for q in range(n_parts):
-            if q == p:
-                continue
-            m = c_owner == q
-            if not np.any(m):
-                continue
-            needed = np.unique(c[m])
-            send_lists[q][p] = (needed - q * nr).tolist()
-            lookup = {int(cc): i for i, cc in enumerate(needed)}
-            # positions filled after S is known — store (q, local index)
-            remote_pos[m] = np.asarray(
-                [lookup[int(cc)] for cc in c[m]], np.int64)
-        part_edges.append((r, c, v, c_owner, remote_pos))
+    # sort edges by destination partition (stable keeps any row order)
+    if e and np.any(row[1:] < row[:-1]):
+        order = np.argsort(row, kind="stable")
+    else:
+        order = np.arange(e, dtype=np.int64)
+    rs, cs = row[order], col[order]
+    owner = rs // nr
+    c_owner = cs // nr
+    remote = c_owner != owner
 
-    S = max(1, max((len(send_lists[q][p]) for q in range(n_parts)
-                    for p in range(n_parts)), default=1))
-    emax = max(1, max(len(pe[0]) for pe in part_edges))
+    # remote fanout per source node = #distinct dest partitions needing it
+    fanout = np.zeros(n, np.int64)
+    if np.any(remote):
+        upairs = np.unique(cs[remote] * n_parts + owner[remote])
+        fan_nodes, fan = np.unique(upairs // n_parts, return_counts=True)
+        fanout[fan_nodes] = fan
+
+    # --- hub selection pass 1: global high-fanout nodes
+    is_hub_node = np.zeros(n, bool)
+    if hub_fanout > 0:
+        cand = np.flatnonzero(fanout >= hub_fanout)
+        if cand.shape[0] > max_hubs:
+            keep = np.argsort(-fanout[cand], kind="stable")[:max_hubs]
+            cand = cand[keep]
+        is_hub_node[cand] = True
+
+    def _pair_groups(mask):
+        """Unique (dest p, col c) pairs among ``mask`` edges, grouped by
+        (owner q, dest p) in (q, p, c) order.  Returns None when empty."""
+        if not np.any(mask):
+            return None
+        pk = owner[mask] * (n + 1) + cs[mask]
+        upk, inv = np.unique(pk, return_inverse=True)
+        p_u = upk // (n + 1)
+        c_u = upk % (n + 1)
+        q_u = c_u // nr
+        grp_order = np.lexsort((c_u, p_u, q_u))
+        gk = q_u[grp_order] * n_parts + p_u[grp_order]
+        new_grp = np.ones(gk.shape[0], bool)
+        new_grp[1:] = gk[1:] != gk[:-1]
+        grp_start_idx = np.flatnonzero(new_grp)
+        grp_id = np.cumsum(new_grp) - 1
+        rank_in_grp = np.arange(gk.shape[0]) - grp_start_idx[grp_id]
+        counts = np.diff(np.append(grp_start_idx, gk.shape[0]))
+        return upk, inv, grp_order, grp_id, rank_in_grp, counts
+
+    # --- hub selection pass 2: cap spill.  One pass suffices — removing a
+    # column only shrinks pair groups, so every group left after spilling
+    # its over-cap members is within the cap.
+    pairwise = remote & ~is_hub_node[cs]
+    if halo_cap is not None and np.any(pairwise):
+        grp = _pair_groups(pairwise)
+        _, _, grp_order, grp_id, _, counts = grp
+        cap = halo_cap if halo_cap > 0 else \
+            max(64, int(np.percentile(counts, 95)))
+        if int(counts.max()) > cap:
+            upk = grp[0]
+            c_u = (upk % (n + 1))[grp_order]
+            # within each (q, p) group order by fanout ascending, so the
+            # over-cap (spilled) members are the highest-fanout columns —
+            # replicating those shrinks other pairs too
+            sub = np.lexsort((fanout[c_u], grp_id))
+            rank_f = np.arange(sub.shape[0]) - \
+                np.flatnonzero(np.diff(np.append(-1, grp_id[sub])))[grp_id[sub]]
+            spill = c_u[sub[rank_f >= cap]]
+            is_hub_node[spill] = True
+            pairwise = remote & ~is_hub_node[cs]
+
+    # --- hub table layout (by owner, ascending node id)
+    hub_pos = np.full(n, -1, np.int64)   # global hub slot (owner * Hq + rank)
+    hub_rank = np.zeros(n, np.int64)     # rank within owner
+    hq = 0
+    hubs = np.flatnonzero(is_hub_node)
+    if hubs.shape[0]:
+        hub_owner = hubs // nr
+        hub_counts = np.bincount(hub_owner, minlength=n_parts)
+        hq = int(hub_counts.max())
+        starts = np.zeros(n_parts + 1, np.int64)
+        np.cumsum(hub_counts, out=starts[1:])
+        rank = np.arange(hubs.shape[0]) - starts[hub_owner]
+        hub_pos[hubs] = hub_owner * hq + rank
+        hub_rank[hubs] = rank
+    is_hub_edge = remote & (hub_pos[cs] >= 0)
+
+    # --- pairwise send lists: unique (dest p, col c) among pairwise edges
+    s = 1
+    send = np.zeros((n_parts, n_parts, 1), np.int32)
+    send_pos_of_edge = np.zeros(e, np.int64)
+    grp = _pair_groups(pairwise)
+    if grp is not None:
+        upk, inv, grp_order, grp_id, rank_in_grp, counts = grp
+        c_s = (upk % (n + 1))[grp_order]
+        q_s = c_s // nr
+        p_s = (upk // (n + 1))[grp_order]
+        s = max(1, int(counts.max()))
+        send = np.zeros((n_parts, n_parts, s), np.int32)
+        send[q_s, p_s, rank_in_grp] = (c_s - q_s * nr).astype(np.int32)
+        # table position of unique pair j (undo the lexsort):
+        tbl = np.empty(upk.shape[0], np.int64)
+        tbl[grp_order] = nr + q_s * s + rank_in_grp
+        send_pos_of_edge[pairwise] = tbl[inv]
+
+    # --- per-edge column remap into [own | halo P*S | hubs P*Hq]
+    final_cols = np.where(
+        pairwise, send_pos_of_edge,
+        np.where(is_hub_edge, nr + n_parts * s + hub_pos[cs],
+                 cs - owner * nr))
+
+    # --- contiguous per-partition edge blocks + edge -> slot map
+    part_count = np.bincount(owner, minlength=n_parts) if e else \
+        np.zeros(n_parts, np.int64)
+    emax = max(1, int(part_count.max()) if e else 1)
+    estart = np.zeros(n_parts + 1, np.int64)
+    np.cumsum(part_count, out=estart[1:])
+    pos_in_part = np.arange(e, dtype=np.int64) - estart[owner]
+    slot_sorted = owner * emax + pos_in_part
+    edge_slot = np.empty(e, np.int64)
+    edge_slot[order] = slot_sorted
 
     rows_b = np.zeros((n_parts, emax), np.int32)
     cols_b = np.zeros((n_parts, emax), np.int32)
-    vals_b = np.zeros((n_parts, emax), np.float32)
-    send = np.zeros((n_parts, n_parts, S), np.int32)
-    for q in range(n_parts):
-        for p in range(n_parts):
-            lst = send_lists[q][p]
-            send[q, p, :len(lst)] = lst
-    for p, (r, c, v, c_owner, remote_pos) in enumerate(part_edges):
-        e = len(r)
-        rows_b[p, :e] = r
-        vals_b[p, :e] = v
-        own = c_owner == p
-        final = np.where(own, remote_pos,
-                         nr + c_owner * S + remote_pos)
-        cols_b[p, :e] = final
+    rows_b.reshape(-1)[slot_sorted] = (rs - owner * nr).astype(np.int32)
+    cols_b.reshape(-1)[slot_sorted] = final_cols.astype(np.int32)
+
+    hub_idx = np.zeros((n_parts, hq), np.int32)
+    if hq:
+        hub_nodes = np.flatnonzero(hub_pos >= 0)
+        hub_idx[hub_nodes // nr, hub_rank[hub_nodes]] = \
+            (hub_nodes % nr).astype(np.int32)
+
     return HaloPartition(
-        rows=jnp.asarray(rows_b), cols=jnp.asarray(cols_b),
-        vals=jnp.asarray(vals_b), send_idx=jnp.asarray(send),
-        n_nodes=n, n_parts=n_parts, rows_per_part=nr, halo_size=S)
+        rows=rows_b, cols=cols_b, edge_slot=edge_slot,
+        base_val=np.asarray(val), send_idx=send, hub_idx=hub_idx,
+        n_nodes=n, n_edges=e, n_parts=n_parts, rows_per_part=nr,
+        halo_size=s, hub_rows=hq)
 
 
-def _local_spmm(x_local, send_local, rows, cols, vals, *, nr, n_parts, s):
+def _local_spmm(x_local, vals, send, hub, rows, cols, *, nr, n_parts, s, hq):
     # shard_map keeps rank: squeeze the sharded leading axis (size 1/device)
-    x_local = x_local.reshape(nr, -1)
-    send_local = send_local.reshape(n_parts, s)
-    rows = rows.reshape(-1)
-    cols = cols.reshape(-1)
+    f = x_local.shape[-1]
+    x_local = x_local.reshape(nr, f)
     vals = vals.reshape(-1)
-    send = x_local[send_local.reshape(-1)].reshape(n_parts, s, -1)
-    halo = jax.lax.all_to_all(send, EDGE_AXIS, split_axis=0, concat_axis=0,
-                              tiled=False)
-    table = jnp.concatenate([x_local, halo.reshape(n_parts * s, -1)], axis=0)
+    rows = jnp.asarray(rows.reshape(-1))
+    cols = jnp.asarray(cols.reshape(-1))
+    pieces = [x_local]
+    out_rows = x_local[jnp.asarray(send.reshape(-1))].reshape(n_parts, s, f)
+    halo = jax.lax.all_to_all(out_rows, EDGE_AXIS, split_axis=0,
+                              concat_axis=0, tiled=False)
+    pieces.append(halo.reshape(n_parts * s, f))
+    if hq:
+        mine = x_local[jnp.asarray(hub.reshape(-1))]
+        hubs = jax.lax.all_gather(mine, EDGE_AXIS, axis=0, tiled=False)
+        pieces.append(hubs.reshape(n_parts * hq, f))
+    table = jnp.concatenate(pieces, axis=0)
     gathered = table[cols] * vals[:, None].astype(x_local.dtype)
-    out = jax.ops.segment_sum(gathered, rows, num_segments=nr)
+    out = jax.ops.segment_sum(gathered, rows, num_segments=nr,
+                              indices_are_sorted=False)
     return out[None]  # restore the sharded leading axis
 
 
-def halo_spmm(part: HaloPartition, x: jax.Array, mesh: Mesh) -> jax.Array:
+def halo_spmm(part: HaloPartition, x: jax.Array, mesh: Mesh,
+              val: Optional[jax.Array] = None) -> jax.Array:
     """``out = A @ X`` with X row-sharded over the mesh's edge axis.
 
-    ``x`` must be the full (possibly unpadded) feature matrix; it is padded
-    to ``P * Nr`` rows, sharded, multiplied, and unpadded."""
-    nr, np_, s = part.rows_per_part, part.n_parts, part.halo_size
+    ``x`` is the full (possibly unpadded) feature matrix; it is padded to
+    ``P * Nr`` rows, sharded, multiplied, and unpadded.  ``val`` — live
+    per-edge values in the *original* edge order (traced values from
+    dropout/renormalization are fine); defaults to the build-time values.
+    """
+    nr, np_, s, hq = (part.rows_per_part, part.n_parts, part.halo_size,
+                      part.hub_rows)
+    if val is None:
+        val = jnp.asarray(part.base_val)
+    if val.shape[0] != part.n_edges:
+        raise ValueError(
+            f"halo partition built for {part.n_edges} edges, got values for "
+            f"{val.shape[0]} (self-loop-appending normalizations need the "
+            "partition rebuilt on the extended structure)")
+    grid = jnp.zeros((np_ * part.edges_per_part,), val.dtype)
+    grid = grid.at[jnp.asarray(part.edge_slot)].set(val, unique_indices=True)
+    vals = grid.reshape(np_, part.edges_per_part)
+
     pad = part.padded_nodes - x.shape[0]
     if pad:
         x = jnp.concatenate(
@@ -146,12 +293,12 @@ def halo_spmm(part: HaloPartition, x: jax.Array, mesh: Mesh) -> jax.Array:
     xs = x.reshape(np_, nr, x.shape[1])
 
     fn = jax.shard_map(
-        partial(_local_spmm, nr=nr, n_parts=np_, s=s),
+        partial(_local_spmm, nr=nr, n_parts=np_, s=s, hq=hq),
         mesh=mesh,
         in_specs=(P(EDGE_AXIS), P(EDGE_AXIS), P(EDGE_AXIS), P(EDGE_AXIS),
-                  P(EDGE_AXIS)),
+                  P(EDGE_AXIS), P(EDGE_AXIS)),
         out_specs=P(EDGE_AXIS),
     )
-    out = fn(xs, part.send_idx, part.rows, part.cols, part.vals)
+    out = fn(xs, vals, part.send_idx, part.hub_idx, part.rows, part.cols)
     out = out.reshape(part.padded_nodes, -1)
     return out[: part.n_nodes]

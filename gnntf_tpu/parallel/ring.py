@@ -40,15 +40,21 @@ from .dist import EDGE_AXIS
 class RingPartition:
     """Host-precomputed schedule for :func:`ring_spmm`.
 
-    ``rows/cols/vals[p, s, e]`` — the edges device ``p`` applies at ring
-    step ``s`` (source block ``(p + s) % P``): local destination offset,
-    source offset *within the rotating block*, and edge value (0-padded).
+    ``rows/cols[p, s, e]`` — the edges device ``p`` applies at ring step
+    ``s`` (source block ``(p + s) % P``): local destination offset and
+    source offset *within the rotating block* (0-padded).  ``edge_slot``
+    maps each *original* edge to its flat slot in that grid so live
+    (possibly traced) edge values can be scattered per call; ``base_val``
+    holds the build-time values for the ``val=None`` path.  Leaves are
+    numpy (trace-safe constants).
     """
 
-    rows: jax.Array     # (P, P, Emax) int32
-    cols: jax.Array     # (P, P, Emax) int32
-    vals: jax.Array     # (P, P, Emax) f32
+    rows: np.ndarray       # (P, P, Emax) int32
+    cols: np.ndarray       # (P, P, Emax) int32
+    edge_slot: np.ndarray  # (E,) int64 — original edge -> flat grid slot
+    base_val: np.ndarray   # (E,)
     n_nodes: int
+    n_edges: int
     n_parts: int
     rows_per_part: int
 
@@ -56,12 +62,26 @@ class RingPartition:
     def padded_nodes(self) -> int:
         return self.n_parts * self.rows_per_part
 
+    @property
+    def edges_per_group(self) -> int:
+        return int(self.rows.shape[2])
+
+    @property
+    def vals(self) -> np.ndarray:
+        """Build-time values in grid layout (diagnostics/tests)."""
+        grid = np.zeros(self.n_parts * self.n_parts * self.edges_per_group,
+                        self.base_val.dtype)
+        grid[self.edge_slot] = self.base_val
+        return grid.reshape(self.rows.shape)
+
 
 def build_ring_partition(graph: Graph, n_parts: int) -> RingPartition:
-    """Group edges by (destination block, ring step) — host, one-time."""
+    """Group edges by (destination block, ring step) — host, one-time,
+    vectorized (one stable sort over (block, step), no per-edge loops)."""
     row = np.asarray(graph.row, np.int64)
     col = np.asarray(graph.col, np.int64)
     val = np.asarray(graph.val)
+    e = row.shape[0]
     n = graph.n_nodes
     nr = -(-n // n_parts)
 
@@ -70,27 +90,26 @@ def build_ring_partition(graph: Graph, n_parts: int) -> RingPartition:
     # step at which device dst_block holds block src_block
     step = (src_block - dst_block) % n_parts
 
-    groups = {}
-    emax = 1
-    for p in range(n_parts):
-        on_p = dst_block == p
-        for s in range(n_parts):
-            m = on_p & (step == s)
-            q = (p + s) % n_parts
-            groups[(p, s)] = (row[m] - p * nr, col[m] - q * nr, val[m])
-            emax = max(emax, int(m.sum()))
+    gid = dst_block * n_parts + step           # (p, s) group id
+    order = np.argsort(gid, kind="stable")
+    gid_s = gid[order]
+    counts = np.bincount(gid_s, minlength=n_parts * n_parts)
+    emax = max(1, int(counts.max()) if e else 1)
+    starts = np.zeros(n_parts * n_parts + 1, np.int64)
+    np.cumsum(counts, out=starts[1:])
+    pos = np.arange(e, dtype=np.int64) - starts[gid_s]
+    slot_sorted = gid_s * emax + pos
+    edge_slot = np.empty(e, np.int64)
+    edge_slot[order] = slot_sorted
 
+    q = (dst_block + step) % n_parts           # source block at that step
     rows_b = np.zeros((n_parts, n_parts, emax), np.int32)
     cols_b = np.zeros((n_parts, n_parts, emax), np.int32)
-    vals_b = np.zeros((n_parts, n_parts, emax), np.float32)
-    for (p, s), (r, c, v) in groups.items():
-        e = len(r)
-        rows_b[p, s, :e] = r
-        cols_b[p, s, :e] = c
-        vals_b[p, s, :e] = v
+    rows_b.reshape(-1)[edge_slot] = (row - dst_block * nr).astype(np.int32)
+    cols_b.reshape(-1)[edge_slot] = (col - q * nr).astype(np.int32)
     return RingPartition(
-        rows=jnp.asarray(rows_b), cols=jnp.asarray(cols_b),
-        vals=jnp.asarray(vals_b), n_nodes=n, n_parts=n_parts,
+        rows=rows_b, cols=cols_b, edge_slot=edge_slot,
+        base_val=np.asarray(val), n_nodes=n, n_edges=e, n_parts=n_parts,
         rows_per_part=nr)
 
 
@@ -117,10 +136,25 @@ def _ring_local(x_local, rows, cols, vals, *, nr, n_parts):
     return accs.sum(axis=0)[None]  # restore the sharded leading axis
 
 
-def ring_spmm(part: RingPartition, x: jax.Array, mesh: Mesh) -> jax.Array:
+def ring_spmm(part: RingPartition, x: jax.Array, mesh: Mesh,
+              val=None) -> jax.Array:
     """``out = A @ X`` with X row-sharded over the mesh's edge axis and
-    feature blocks rotated around the ring (one ``ppermute`` per step)."""
+    feature blocks rotated around the ring (one ``ppermute`` per step).
+
+    ``val`` — live per-edge values in the original edge order (traced
+    values from dropout/renormalization are fine); defaults to the
+    build-time values."""
     nr, n_parts = part.rows_per_part, part.n_parts
+    if val is None:
+        val = jnp.asarray(part.base_val)
+    if val.shape[0] != part.n_edges:
+        raise ValueError(
+            f"ring partition built for {part.n_edges} edges, got values "
+            f"for {val.shape[0]}")
+    grid = jnp.zeros((n_parts * n_parts * part.edges_per_group,), val.dtype)
+    grid = grid.at[jnp.asarray(part.edge_slot)].set(val, unique_indices=True)
+    vals = grid.reshape(n_parts, n_parts, part.edges_per_group)
+
     pad = part.padded_nodes - x.shape[0]
     if pad:
         x = jnp.concatenate(
@@ -133,6 +167,6 @@ def ring_spmm(part: RingPartition, x: jax.Array, mesh: Mesh) -> jax.Array:
         in_specs=(P(EDGE_AXIS), P(EDGE_AXIS), P(EDGE_AXIS), P(EDGE_AXIS)),
         out_specs=P(EDGE_AXIS),
     )
-    out = fn(xs, part.rows, part.cols, part.vals)
+    out = fn(xs, part.rows, part.cols, vals)
     out = out.reshape(part.padded_nodes, -1)
     return out[: part.n_nodes]
