@@ -48,6 +48,38 @@ _SPMM_IMPL = "auto"  # "auto" | "segment" | "ell" | "pallas"
 _ELL_MIN_EDGES = 65_536
 _ELL_DEFAULT_K = 8
 
+# Optional executor override: a callable ``(graph, x) -> out`` that takes
+# precedence over every impl above.  Distributed runs install one (e.g.
+# ``parallel.halo.HaloExecutor``) around jit tracing so every propagation
+# layer's SpMM routes through an explicit shard_map executor instead of
+# relying on GSPMD sharding propagation.  Trace-scoped: it only needs to be
+# set while the step function traces.
+_SPMM_EXECUTOR = None
+
+
+def set_spmm_executor(fn) -> None:
+    """Install (or with ``None`` remove) the global SpMM executor override."""
+    global _SPMM_EXECUTOR
+    _SPMM_EXECUTOR = fn
+
+
+class spmm_executor:
+    """Context manager scoping an executor override to a trace/call."""
+
+    def __init__(self, fn):
+        self.fn = fn
+
+    def __enter__(self):
+        global _SPMM_EXECUTOR
+        self._prev = _SPMM_EXECUTOR
+        _SPMM_EXECUTOR = self.fn
+        return self.fn
+
+    def __exit__(self, *exc):
+        global _SPMM_EXECUTOR
+        _SPMM_EXECUTOR = self._prev
+        return False
+
 
 def set_spmm_impl(name: str) -> None:
     global _SPMM_IMPL
@@ -368,6 +400,8 @@ def _structure_is_concrete(graph: Graph) -> bool:
 
 def spmm(graph: Graph, x: jax.Array) -> jax.Array:
     """Dispatching SpMM entry point used by all propagation layers."""
+    if _SPMM_EXECUTOR is not None:
+        return _SPMM_EXECUTOR(graph, x)
     impl = _SPMM_IMPL
     if impl == "auto":
         impl = ("hybrid" if graph.n_edges >= _ELL_MIN_EDGES

@@ -2,5 +2,6 @@ from .dist import (EDGE_AXIS, FEAT_AXIS, graph_shardings, make_distributed_eval,
                    make_distributed_train_step, make_mesh, param_shardings,
                    place_state, shard_graph)
 from .partition import edge_balanced_ranges, pad_graph, partition_edges
-from .halo import HaloPartition, build_halo_partition, halo_spmm
+from .halo import (HaloExecutor, HaloPartition, build_halo_partition,
+                   halo_spmm)
 from .ring import RingPartition, build_ring_partition, ring_spmm

@@ -31,6 +31,7 @@ against the dense oracle, including gradients and a 10K-degree-hub graph.
 """
 from __future__ import annotations
 
+from collections import OrderedDict
 from dataclasses import dataclass
 from functools import partial
 from typing import Optional
@@ -302,3 +303,57 @@ def halo_spmm(part: HaloPartition, x: jax.Array, mesh: Mesh,
     out = fn(xs, vals, part.send_idx, part.hub_idx, part.rows, part.cols)
     out = out.reshape(part.padded_nodes, -1)
     return out[: part.n_nodes]
+
+
+class HaloExecutor:
+    """An ``ops.spmm`` executor override (``ops.spmm.set_spmm_executor``)
+    routing every propagation layer's SpMM through :func:`halo_spmm`.
+
+    ``fit(mesh=..., spmm="halo")`` installs one around the jitted train and
+    eval steps, so the *training* propagation — per-layer edge dropout and
+    renormalized values included — runs as explicit halo all_to_all +
+    local segment-sum instead of GSPMD sharding propagation.
+
+    Partitions are built host-side per graph *structure* and cached with
+    the same discipline as the ELL layout cache (``ops/spmm.py``): keyed on
+    ``id(row)`` with a strong reference pinned in the value so a recycled
+    id can never alias a dead graph's plan, bounded LRU.  Live (possibly
+    traced) edge values flow through ``halo_spmm``'s value scatter;
+    structures appended inside the trace (``add_eye``) are concrete
+    constants, so plan building stays host-side.
+    """
+
+    _CACHE_MAX = 16
+
+    def __init__(self, mesh: Mesh, n_parts: Optional[int] = None, **build_kw):
+        self.mesh = mesh
+        self.n_parts = int(mesh.shape[EDGE_AXIS]) if n_parts is None \
+            else n_parts
+        self.build_kw = build_kw
+        self._plans: OrderedDict = OrderedDict()
+
+    def partition_for(self, graph: Graph) -> HaloPartition:
+        key = id(graph.row)
+        hit = self._plans.get(key)
+        if hit is not None and hit[0] is graph.row:
+            self._plans.move_to_end(key)
+            return hit[1]
+        if isinstance(graph.row, jax.core.Tracer):
+            raise TypeError(
+                "HaloExecutor needs a concrete edge structure; the graph "
+                "row/col arrived as tracers (close over the graph instead "
+                "of passing it as a jit argument)")
+        structure = Graph(
+            row=np.asarray(graph.row), col=np.asarray(graph.col),
+            val=np.ones(graph.n_edges, np.float32), n_nodes=graph.n_nodes,
+            num_self_loop=graph.num_self_loop,
+            sorted_by_row=graph.sorted_by_row)
+        plan = build_halo_partition(structure, self.n_parts, **self.build_kw)
+        self._plans[key] = (graph.row, plan)
+        while len(self._plans) > self._CACHE_MAX:
+            self._plans.popitem(last=False)
+        return plan
+
+    def __call__(self, graph: Graph, x: jax.Array) -> jax.Array:
+        plan = self.partition_for(graph)
+        return halo_spmm(plan, x, self.mesh, graph.val)

@@ -202,7 +202,10 @@ def fit(model: Trainable, train: Predictor, valid: Optional[Predictor] = None,
 
     trainable = {s.name: s.trainable for s in model.param_specs}
 
-    if mesh is not None:
+    if spmm not in (None, "gspmd", "halo"):
+        raise ValueError(f"spmm executor must be None, 'gspmd' or 'halo', "
+                         f"got {spmm!r}")
+    if mesh is not None and spmm != "halo":
         from ..parallel import (make_distributed_eval,
                                 make_distributed_train_step, place_state,
                                 shard_graph)
@@ -241,6 +244,25 @@ def fit(model: Trainable, train: Predictor, valid: Optional[Predictor] = None,
         @jax.jit
         def eval_acts(params):
             return model.apply(params, model.features, training=False)
+
+        if mesh is not None:  # spmm == "halo"
+            # same closures (model closes over the concrete graph), but every
+            # ops.spmm call inside the trace routes through the explicit
+            # halo-exchange shard_map executor on the given mesh.  The
+            # override only needs to be live while jit traces, so each call
+            # scopes it (post-compile this is a cheap global toggle).
+            from ..ops.spmm import spmm_executor
+            from ..parallel.halo import HaloExecutor
+            executor = HaloExecutor(mesh)
+
+            def _scoped(fn):
+                def wrapped(*args):
+                    with spmm_executor(executor):
+                        return fn(*args)
+                return wrapped
+
+            train_step = _scoped(train_step)
+            eval_acts = _scoped(eval_acts)
 
     valid_loss_fn = jax.jit(
         lambda acts, batch, params: valid.loss(acts, batch, params=params))

@@ -275,3 +275,113 @@ def test_fit_with_mesh_full_training_loop(setup):
     # same seed, same init scheme: trajectories agree to float tolerance
     np.testing.assert_allclose(hist["valid_loss"][:5],
                                hist_local["valid_loss"][:5], rtol=2e-2)
+
+
+class TestHaloSkew:
+    """Degree-skew robustness: a 10K-ish-degree hub node must neither break
+    correctness nor inflate every device's pairwise all_to_all buffer
+    (VERDICT r1 #9 — hub replication + cap spill, parallel/halo.py)."""
+
+    def _hub_graph(self, n=1024, hub_deg=1000, e_rand=2000, seed=7):
+        from gnntf_tpu.graph import from_edges
+        rng = np.random.RandomState(seed)
+        hub_dst = rng.choice(n - 1, hub_deg, replace=False) + 1
+        src = np.concatenate([np.zeros(hub_deg, np.int64),
+                              rng.randint(0, n, e_rand)])
+        dst = np.concatenate([hub_dst, rng.randint(0, n, e_rand)])
+        return from_edges(src, dst, n_nodes=n, directed=False)
+
+    def test_hub_graph_correct(self):
+        from gnntf_tpu.parallel import build_halo_partition, halo_spmm, make_mesh
+        g = self._hub_graph()
+        part = build_halo_partition(g, 8)
+        x = jnp.asarray(np.random.RandomState(0).randn(g.n_nodes, 8),
+                        jnp.float32)
+        out = halo_spmm(part, x, make_mesh(8, 1))
+        ref = np.asarray(g.to_dense()) @ np.asarray(x)
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
+
+    def test_hub_bytes_bounded(self):
+        """With hub replication the pairwise S must reflect only local
+        boundary traffic — far below the hub's degree — and the hub table
+        must actually engage."""
+        from gnntf_tpu.parallel import build_halo_partition
+        g = self._hub_graph()
+        part = build_halo_partition(g, 8)
+        naive = build_halo_partition(g, 8, hub_fanout=0, halo_cap=None)
+        assert part.hub_rows > 0
+        assert part.halo_size < naive.halo_size // 2, \
+            (part.halo_size, naive.halo_size)
+
+    def test_partition_build_is_fast(self):
+        """The vectorized builder must handle a 100K-edge power-law graph
+        with a huge hub in well under a second (the r1 builder was an
+        O(P^2) python loop with per-edge dict lookups)."""
+        import time
+        from gnntf_tpu.data.synthetic import random_power_law_edges
+        from gnntf_tpu.graph import from_edges
+        from gnntf_tpu.parallel import build_halo_partition
+        src, dst = random_power_law_edges(20_000, 100_000, seed=0)
+        g = from_edges(src, dst, n_nodes=20_000, directed=False)
+        t0 = time.perf_counter()
+        part = build_halo_partition(g, 8)
+        dt = time.perf_counter() - t0
+        assert part.n_edges == g.n_edges
+        assert dt < 2.0, f"partition build took {dt:.2f}s"
+
+
+class TestHaloTrainer:
+    """fit(mesh=..., spmm='halo') — the full training loop with every
+    propagation routed through the explicit halo-exchange executor
+    (VERDICT r1 #5)."""
+
+    def test_halo_training_matches_local(self, setup):
+        mesh = make_mesh(8, 1)
+        labels = setup["labels"]
+
+        def make():
+            return gt.APPNP(setup["adj"], setup["features"], num_classes=4,
+                            iterations=3)
+
+        m_local = make()
+        m_local.reset(0)
+        init = dict(m_local.params)
+        tr = gt.NodeClassification(setup["train"], labels[setup["train"]])
+        h_local = m_local.train(train=tr, patience=10, epochs=8, seed=0,
+                                init_params=init)
+        m_halo = make()
+        h_halo = m_halo.train(train=tr, patience=10, epochs=8, seed=0,
+                              init_params=dict(init), mesh=mesh, spmm="halo")
+        # identical init + identical RNG stream: the halo executor is the
+        # same math as the local segment-sum, so per-epoch losses agree to
+        # float-reassociation tolerance
+        np.testing.assert_allclose(h_halo["train_loss"], h_local["train_loss"],
+                                   rtol=2e-3, atol=2e-4)
+        np.testing.assert_allclose(h_halo["valid_loss"], h_local["valid_loss"],
+                                   rtol=2e-3, atol=2e-4)
+        for k in init:
+            np.testing.assert_allclose(
+                np.asarray(m_halo.params[k]), np.asarray(m_local.params[k]),
+                rtol=5e-3, atol=5e-4)
+
+    def test_halo_training_gcn_learns(self, setup):
+        """GCN uses add_eye federated structures (self-loops appended inside
+        the trace) — the executor must build its plan on the extended
+        structure and still learn."""
+        mesh = make_mesh(8, 1)
+        labels = setup["labels"]
+        model = gt.GCN(setup["adj"], setup["features"], num_classes=4)
+        tr = gt.NodeClassification(setup["train"], labels[setup["train"]])
+        hist = model.train(train=tr, patience=10, epochs=12, seed=0,
+                           mesh=mesh, spmm="halo")
+        assert hist["valid_loss"][-1] < hist["valid_loss"][0]
+        pred = model.predict(gt.NodeClassification(setup["train"]))
+        acc = np.mean(np.asarray(pred) == labels[setup["train"]])
+        assert acc > 0.5
+
+    def test_bad_spmm_value_raises(self, setup):
+        model = gt.APPNP(setup["adj"], setup["features"], num_classes=4)
+        tr = gt.NodeClassification(setup["train"],
+                                   setup["labels"][setup["train"]])
+        with pytest.raises(ValueError, match="spmm executor"):
+            model.train(train=tr, epochs=1, spmm="nonsense")
