@@ -4,4 +4,6 @@ from .dist import (EDGE_AXIS, FEAT_AXIS, graph_shardings, make_distributed_eval,
 from .partition import edge_balanced_ranges, pad_graph, partition_edges
 from .halo import (HaloExecutor, HaloPartition, build_halo_partition,
                    halo_spmm)
+from .multihost import (EDGE_HOST_AXIS, launch_distributed, make_pod_mesh,
+                        shard_graph_local)
 from .ring import RingPartition, build_ring_partition, ring_spmm
