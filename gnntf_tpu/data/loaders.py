@@ -157,101 +157,136 @@ def load(dataset_name: str, data_dir: str = "data"):
     return G, features, labels
 
 
-def _np_load(dataset_name, data_dir):
-    import networkx as nx
+def _csr_from_npz(blob, tag):
     from scipy.sparse import csr_matrix
+    return csr_matrix(
+        (blob[f"{tag}.data"], blob[f"{tag}.indices"], blob[f"{tag}.indptr"]),
+        shape=blob[f"{tag}.shape"], dtype=float)
 
-    loc = np.load(os.path.join(data_dir, dataset_name), allow_pickle=True)
-    adj = csr_matrix((loc["adj_matrix.data"], loc["adj_matrix.indices"],
-                      loc["adj_matrix.indptr"]), shape=loc["adj_matrix.shape"],
-                     dtype=float)
-    attr = csr_matrix((loc["attr_matrix.data"], loc["attr_matrix.indices"],
-                       loc["attr_matrix.indptr"]),
-                      shape=loc["attr_matrix.shape"], dtype=float)
-    G = nx.from_scipy_sparse_array(adj, create_using=nx.DiGraph)
-    attr = np.asarray(attr.todense())
-    features = {u: attr[u].tolist() for u in range(len(G))}
-    labels = {u: label for u, label in enumerate(loc["labels"])}
-    return G, features, labels
+
+def _np_load(dataset_name, data_dir):
+    """SNAP-style ``.npz`` bundles (CSR adjacency + CSR attributes +
+    labels); output contract identical to reference
+    experiment_setup.py:273-283."""
+    import networkx as nx
+
+    blob = np.load(os.path.join(data_dir, dataset_name), allow_pickle=True)
+    G = nx.from_scipy_sparse_array(_csr_from_npz(blob, "adj_matrix"),
+                                   create_using=nx.DiGraph)
+    dense_attr = np.asarray(_csr_from_npz(blob, "attr_matrix").todense())
+    features = {u: dense_attr[u].tolist() for u in range(len(G))}
+    return G, features, dict(enumerate(blob["labels"]))
+
+
+def _citation_arcs(path):
+    """Arc list of a tab-separated ``.cites`` file.  Endpoint ids may be
+    namespaced (``paper:123`` -> ``123``); self-citations are dropped.
+    Arc order is preserved verbatim — first mention defines a node's
+    position in graph-iteration order, which downstream code turns into
+    its integer id (the node-order contract, graph/nx_interop.py)."""
+    with open(path) as fh:
+        rows = (ln.rstrip("\n").split("\t") for ln in fh)
+        ends = ((cells[-2].rpartition(":")[2], cells[-1].rpartition(":")[2])
+                for cells in rows if len(cells) >= 2)
+        return [(u, v) for u, v in ends if u != v]
+
+
+def _named_attr_row(cells, schema):
+    """One ``.content`` row of the named-attribute format: ``key=value``
+    cells materialized against the declared ``schema`` column order
+    (absent keys are 0; the ``summary`` column is always zeroed — a quirk
+    of the upstream citeseer exports, reference experiment_setup.py:312)."""
+    attr = {}
+    for cell in cells[2:]:
+        key, sep, rest = cell.partition("=")
+        if sep:
+            attr[key] = rest.split("=")[0]
+    attr["summary"] = 0
+    return [float(attr.get(column, 0)) for column in schema], cells[1]
 
 
 def _dataload(dataset_name, data_dir):
+    """Citeseer-style ``.cites``/``.content`` pair.  Supports both content
+    formats (dense numeric columns, or a ``:label`` header row declaring
+    named ``key=value`` attributes); rows for unknown nodes are ignored
+    and nodes without attributes pruned.  Output contract — including the
+    final node-order re-key of the feature dict — matches reference
+    experiment_setup.py:285-323 exactly (fixture-tested against the live
+    reference, tests/test_data.py)."""
     import networkx as nx
 
-    G = nx.DiGraph()
-    with open(os.path.join(data_dir, dataset_name + ".cites")) as file:
-        for line in file:
-            edge = line.rstrip("\n").split("\t")
-            if len(edge) < 2:
-                continue
-            u = edge[-2].split(":")[-1]
-            v = edge[-1].split(":")[-1]
-            if u != v:
-                G.add_edge(u, v)
+    G = nx.DiGraph(_citation_arcs(
+        os.path.join(data_dir, dataset_name + ".cites")))
     features, labels = {}, {}
-    feature_map = None
-    with open(os.path.join(data_dir, dataset_name + ".content")) as file:
-        for line in file:
-            line = line.rstrip("\n").split("\t")
-            if line[0] == "NODE":
+    schema = None
+    with open(os.path.join(data_dir, dataset_name + ".content")) as fh:
+        for ln in fh:
+            cells = ln.rstrip("\n").split("\t")
+            head = cells[0]
+            if head == "NODE":
                 continue
-            if ":label" in line[0]:
-                feature_map = [var.split(":")[1] for var in line[2:]]
-                continue
-            if line[0] not in G:
-                continue
-            if feature_map is not None:
-                line_feats = {val.split("=")[0]: val.split("=")[1]
-                              for val in line[2:]}
-                line_feats["summary"] = 0
-                features[line[0]] = [float(line_feats.get(val, 0))
-                                     for val in feature_map]
-                labels[line[0]] = line[1]
-            else:
-                features[line[0]] = [float(val) for val in line[1:-1]]
-                labels[line[0]] = line[-1]
-    for u in list(G):
-        if u not in features:
-            G.remove_node(u)
+            if ":label" in head:
+                schema = [c.split(":")[1] for c in cells[2:]]
+            elif head in G:
+                if schema is None:
+                    features[head] = [float(v) for v in cells[1:-1]]
+                    labels[head] = cells[-1]
+                else:
+                    features[head], labels[head] = _named_attr_row(cells,
+                                                                   schema)
+    G.remove_nodes_from([u for u in G if u not in features])
+    features = {u: features[u] for u in G}  # node-order re-key (ref :321-323)
     return G, features, labels
 
 
 def custom_splits(labels, examples_per_class: int = 20,
                   num_validation: Optional[int] = 500, seed: int = 0):
-    """Planetoid-style splits: ``examples_per_class`` train nodes per class,
-    ``num_validation`` validation nodes, rest test
-    (reference experiment_setup.py:183-201)."""
+    """Planetoid-style splits: the first ``examples_per_class`` nodes of
+    each class along a seeded shuffle train; of the remaining labeled
+    nodes (reshuffled on the same random stream), ``num_validation``
+    validate and the rest test.  Unlabeled nodes (label ``-1``) are
+    excluded everywhere.
+
+    Byte-identical to reference experiment_setup.py:183-201 — the
+    random-module stream, the visit-order interleaving of the train list,
+    and the set-difference ordering are all pinned by that contract (the
+    per-class quota selection itself is vectorized)."""
+    y = np.asarray(labels)
+    n = y.shape[0]
     random.seed(seed)
-    labels = np.asarray(labels)
-    order = list(range(labels.shape[0]))
-    random.shuffle(order)
-    count, training_idx = {}, []
-    for pos in order:
-        if labels[pos] == -1:
-            continue
-        if count.get(labels[pos], 0) < examples_per_class:
-            training_idx.append(pos)
-            count[labels[pos]] = count.get(labels[pos], 0) + 1
-    test_idx = list(set(pos for pos in range(labels.shape[0])
-                        if labels[pos] != -1) - set(training_idx))
-    random.shuffle(test_idx)
+    visit = list(range(n))
+    random.shuffle(visit)
+    rank = np.empty(n, np.int64)
+    rank[visit] = np.arange(n)
+    has_label = (y != -1) if y.dtype.kind in "biuf" else np.ones(n, bool)
+    nodes = np.flatnonzero(has_label)
+    classes, cls_of = np.unique(y[nodes], return_inverse=True)
+    # a node trains iff its shuffled rank is among the first
+    # examples_per_class within its class
+    by_cls = np.lexsort((rank[nodes], cls_of))
+    counts = np.bincount(cls_of, minlength=classes.shape[0])
+    group_start = np.repeat(np.cumsum(counts) - counts, counts)
+    quota_pos = np.arange(nodes.shape[0]) - group_start
+    chosen = nodes[by_cls[quota_pos < examples_per_class]]
+    train_nodes = chosen[np.argsort(rank[chosen])].tolist()
+    leftover = list(set(nodes.tolist()) - set(train_nodes))
+    random.shuffle(leftover)
     if num_validation is None:
-        num_validation = len(count) * examples_per_class
-    valid_idx = test_idx[:num_validation]
-    test_idx = test_idx[num_validation:]
-    return training_idx, valid_idx, test_idx
+        num_validation = classes.shape[0] * examples_per_class
+    return (train_nodes, leftover[:num_validation],
+            leftover[num_validation:])
 
 
 def random_splits(labels, training: float = 0.6, validation: float = 0.2,
                   seed: int = 0):
-    """Fraction-based random splits (reference experiment_setup.py:204-210)."""
+    """Fraction-based random splits; same random stream as reference
+    experiment_setup.py:204-210."""
     random.seed(seed)
-    labels = np.asarray(labels)
-    order = list(range(labels.shape[0]))
-    random.shuffle(order)
-    sep_training = int(len(order) * training)
-    sep_valid = int(len(order) * (training + validation))
-    return order[:sep_training], order[sep_training:sep_valid], order[sep_valid:]
+    visit = list(range(np.asarray(labels).shape[0]))
+    random.shuffle(visit)
+    cut_train = int(len(visit) * training)
+    cut_valid = int(len(visit) * (training + validation))
+    return visit[:cut_train], visit[cut_train:cut_valid], visit[cut_valid:]
 
 
 def sample_edges(G):

@@ -14,24 +14,27 @@ from .. import measures
 from .base import Predictor
 
 
+def _adjacent_to(graph, node):
+    """All neighbors of ``node`` in either direction."""
+    linked = set(graph.neighbors(node))
+    if graph.is_directed():
+        linked.update(graph.predecessors(node))
+    return linked
+
+
 def recommend_all(node, graph=None, positive_edges=None, negative_nodes=None):
-    """Candidate edge list for one node: its positives + all non-adjacent
-    negatives (reference graph_predictor.py:34-49)."""
-    edges, values = [], []
+    """Candidate edge list for one node: its positives (kept in given
+    order) followed by every non-adjacent negative (in ``negative_nodes``
+    order); output contract = reference graph_predictor.py:34-49."""
     if positive_edges is None:
-        positive_edges = [[node, neighbor] for neighbor in graph.neighbors(node)]
+        positive_edges = [[node, nb] for nb in graph.neighbors(node)]
     if negative_nodes is None:
         negative_nodes = list(graph)
-    for u, v in positive_edges:
-        if u == node or v == node:
-            edges.append([u, v])
-            values.append(1)
-    for v in negative_nodes:
-        if v != node and (graph is None or (not graph.has_edge(node, v)
-                                            and not graph.has_edge(v, node))):
-            edges.append([node, v])
-            values.append(0)
-    return np.array(edges), values
+    pos = [[u, v] for u, v in positive_edges if node in (u, v)]
+    linked = set() if graph is None else _adjacent_to(graph, node)
+    neg = [[node, c] for c in negative_nodes
+           if c != node and c not in linked]
+    return np.array(pos + neg), [1] * len(pos) + [0] * len(neg)
 
 
 class negative_sampling:
@@ -231,45 +234,60 @@ class MeanLinkPrediction(LinkPrediction):
             self.parsed_edges.setdefault(int(v), []).append(int(u))
 
     def evaluate(self, acts, batch=None, params=None, verbose: bool = True):
+        """Vectorized: per positive node the candidate negatives come from
+        one ``isin`` over a hashed symmetric edge table and the scores from
+        one matvec against the (relation-weighted) feature matrix — no
+        per-candidate ``graph.has_edge`` Python loop (the reference's
+        slowest path, graph_predictor.py:182-203; semantics preserved)."""
         k = self.k
-        acts = np.asarray(acts)
-        aucs, precs, recs, f1s, maps = [], [], [], [], []
-        cov = set()
-        positive_nodes = list(self.parsed_edges) if self.positive_nodes is None \
-            else self.positive_nodes
-        negative_nodes = set(
-            v for neighbors in self.parsed_edges.values() for v in neighbors
-        ) if self.negative_nodes is None else set(self.negative_nodes)
-
-        r = None if self.r is None or params is None else np.asarray(params[self.r])
-        feats = acts
+        feats = np.asarray(acts)
         if self.similarity == "cos":
             feats = feats / np.sqrt(
                 np.maximum((feats ** 2).sum(1, keepdims=True), 1e-12))
+        r = None if self.r is None or params is None \
+            else np.asarray(params[self.r])
+        # logits for (u, t) = <feats[u] * feats[t], r> = (feats[u] * r) . feats[t]
+        query = feats if r is None else feats * r[:, 0][None, :]
 
+        positive_nodes = list(self.parsed_edges) \
+            if self.positive_nodes is None else self.positive_nodes
+        pool = set(v for nbrs in self.parsed_edges.values() for v in nbrs) \
+            if self.negative_nodes is None else set(self.negative_nodes)
+        neg_pool = np.fromiter(pool, np.int64, len(pool))
+
+        # symmetric edge table of the rejection graph, hashed as u*n + v
+        n_ids = feats.shape[0]
+        arcs = np.asarray([(int(u), int(v)) for u, v in self.graph.edges()],
+                          np.int64).reshape(-1, 2)
+        linked = np.unique(np.concatenate([
+            arcs[:, 0] * n_ids + arcs[:, 1],
+            arcs[:, 1] * n_ids + arcs[:, 0]])) if arcs.size else \
+            np.empty(0, np.int64)
+
+        aucs, precs, recs, f1s, maps = [], [], [], [], []
+        cov: set = set()
         for node in positive_nodes:
             if node not in self.parsed_edges:
                 raise ValueError("Node not found")
-            pos = [[node, nb] for nb in self.parsed_edges[node]]
-            neg = [[node, nb] for nb in negative_nodes
-                   if node != nb and not self.graph.has_edge(node, nb)
-                   and not self.graph.has_edge(nb, node)]
-            edges = np.asarray(pos + neg)
-            labels = np.array([1.0] * len(pos) + [0.0] * len(neg))
-            sims = feats[edges[:, 0]] * feats[edges[:, 1]]
-            logits = sims.sum(1) if r is None else (sims @ r)[:, 0]
+            pos_t = np.asarray(self.parsed_edges[node], np.int64)
+            keep = (neg_pool != node) & ~np.isin(
+                node * n_ids + neg_pool, linked, assume_unique=True)
+            targets = np.concatenate([pos_t, neg_pool[keep]])
+            labels = np.zeros(targets.shape[0])
+            labels[: pos_t.shape[0]] = 1.0
+            logits = feats[targets] @ query[node]
             prediction = 1.0 / (1.0 + np.exp(-logits))
             aucs.append(measures.auc(labels, prediction))
             maps.append(measures.avprec(labels, prediction, k))
             precs.append(measures.prec(labels, prediction, k))
             recs.append(measures.rec(labels, prediction, k))
             f1s.append(measures.f1(labels, prediction, k))
-            cov |= {int(edges[i][1]) for i in np.argsort(prediction)[-k:]}
+            cov.update(targets[np.argsort(prediction)[-k:]].tolist())
         if verbose:
             print(f"Average node AUC {float(np.mean(aucs)):.3f}\t "
                   f"MAP {float(np.mean(maps)):.3f}\t"
                   f"Precision {float(np.mean(precs)):.3f}\t"
                   f"Recall {float(np.mean(recs)):.3f}\t "
                   f"F1 {float(np.mean(f1s)):.3f}\t "
-                  f"Coverage {float(len(cov) / len(negative_nodes)):.3f}")
+                  f"Coverage {float(len(cov) / len(pool)):.3f}")
         return float(np.mean(f1s))

@@ -173,3 +173,71 @@ def test_mean_link_prediction_runs():
     task = gt.MeanLinkPrediction(edges, labels=[1] * len(edges), graph=G, k=3)
     f1 = task.evaluate(jnp.asarray(acts), verbose=False)
     assert 0.0 <= f1 <= 1.0
+
+
+def test_mean_link_prediction_matches_naive_oracle():
+    """The vectorized per-node evaluation must reproduce the naive
+    per-candidate has_edge formulation (the reference algorithm,
+    graph_predictor.py:182-203) exactly."""
+    gt.set_seed(3)
+    rng = np.random.RandomState(4)
+    n = 40
+    G = nx.DiGraph()
+    G.add_nodes_from(range(n))
+    eset = {(int(u), int(v)) for u, v in zip(rng.randint(0, n, 90),
+                                             rng.randint(0, n, 90))
+            if u != v}
+    G.add_edges_from(eset)
+    edges = list(eset)[:40]
+    acts = rng.randn(n, 8).astype(np.float32)
+    task = gt.MeanLinkPrediction(edges, labels=[1] * len(edges), graph=G, k=4)
+
+    # naive oracle (the reference algorithm, written independently here)
+    from gnntf_tpu import measures
+    k = 4
+    negatives = set(v for nbrs in task.parsed_edges.values() for v in nbrs)
+    f1s = []
+    for node in task.parsed_edges:
+        pos = [[node, nb] for nb in task.parsed_edges[node]]
+        neg = [[node, nb] for nb in negatives
+               if nb != node and not G.has_edge(node, nb)
+               and not G.has_edge(nb, node)]
+        cand = np.asarray(pos + neg)
+        labels = np.array([1.0] * len(pos) + [0.0] * len(neg))
+        logits = (acts[cand[:, 0]] * acts[cand[:, 1]]).sum(1)
+        f1s.append(measures.f1(labels, 1 / (1 + np.exp(-logits)), k))
+    expected = float(np.mean(f1s))
+
+    got = task.evaluate(jnp.asarray(acts), verbose=False)
+    assert got == pytest.approx(expected, rel=1e-6)
+
+
+def test_mean_link_prediction_is_fast():
+    """1K-node recommendation graph: the vectorized evaluate must finish in
+    seconds (the r1 host loop took minutes at this size) — VERDICT r1 #7."""
+    import time
+    rng = np.random.RandomState(0)
+    n = 1000
+    G = nx.DiGraph()
+    G.add_nodes_from(range(n))
+    src, dst = rng.randint(0, n, 4000), rng.randint(0, n, 4000)
+    G.add_edges_from((int(u), int(v)) for u, v in zip(src, dst) if u != v)
+    edges = list(G.edges())[:1500]
+    acts = rng.randn(n, 32).astype(np.float32)
+    task = gt.MeanLinkPrediction(edges, labels=[1] * len(edges), graph=G, k=5)
+    t0 = time.perf_counter()
+    f1 = task.evaluate(jnp.asarray(acts), verbose=False)
+    dt = time.perf_counter() - t0
+    assert 0.0 <= f1 <= 1.0
+    assert dt < 8.0, f"vectorized MeanLinkPrediction took {dt:.1f}s"
+
+
+def test_recommend_all_contract():
+    G = nx.DiGraph()
+    G.add_nodes_from(range(6))
+    G.add_edges_from([(0, 1), (2, 0), (3, 4)])
+    edges, values = gt.recommend_all(0, graph=G)
+    # positives: 0's out-neighbors; negatives: everyone not adjacent in
+    # either direction and not 0 itself -> 3, 4, 5
+    assert edges.tolist() == [[0, 1], [0, 3], [0, 4], [0, 5]]
+    assert values == [1, 0, 0, 0]
