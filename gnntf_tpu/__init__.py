@@ -17,8 +17,8 @@ from .models import (APPNP, APPNP2, GAT, GCN, GCNII, GIN, MLP, NGCF,
                      StableIteration, Structural)
 from .nn import (LSTM, Activation, Branch, Concatenate, Dense, Dropout,
                  Forward, Layer, Network, Resume, Tradeoff, Wrap, batches)
-from .ops import (dropout, normalize_adjacency, sddmm, segment_softmax,
-                  set_spmm_impl, spmm)
+from .ops import (dropout, edge_dot, normalize_adjacency, sddmm,
+                  segment_softmax, set_spmm_impl, spmm)
 from .tasks import (LinkPrediction, MeanLinkPrediction, NodeClassification,
                     Predictor, negative_sampling, recommend_all)
 from .train import Trainable, fit, keras_adam

@@ -152,8 +152,8 @@ def _pallas_vjp_fn(blocked: BlockedCOO, row: jax.Array, col: jax.Array,
 
     pallas_call has no autodiff here, so the VJP is hand-specified:
     ``dx = A^T @ dy`` (transpose SpMM) and ``dval = SDDMM(dy, x)`` — the
-    standard sparse-matmul adjoints (same math as ops.spmm.spmm_transpose /
-    ops.spmm.sddmm), computed with segment primitives.  Cached per layout
+    standard sparse-matmul adjoints (the SDDMM half is ops.spmm.edge_dot's
+    math), computed with segment primitives.  Cached per layout
     so jit sees a stable function identity."""
     key = (id(blocked), interpret, bf16)
     hit = _VJP_CACHE.get(key)

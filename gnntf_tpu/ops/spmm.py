@@ -417,16 +417,19 @@ def spmm(graph: Graph, x: jax.Array) -> jax.Array:
     return spmm_segment(graph, x)
 
 
+def edge_dot(row: jax.Array, col: jax.Array, x: jax.Array,
+             y: Optional[jax.Array] = None) -> jax.Array:
+    """Per-pair dot products ``s[e] = <x[row[e]], y[col[e]]>`` — the SDDMM
+    core on an explicit index list.  Production call sites: every
+    dot/cosine link-prediction scoring pass (tasks/link_prediction.py,
+    reference graph_predictor.py:120-124 does this with gathers + reduce)
+    and :func:`sddmm` on a graph's sparsity pattern."""
+    y = x if y is None else y
+    return jnp.sum(x[row] * y[col], axis=-1)
+
+
 def sddmm(graph: Graph, x: jax.Array, y: jax.Array) -> jax.Array:
-    """Sampled dense-dense matmul: s[e] = <x[row[e]], y[col[e]]>.
-
-    Per-edge dot products on the sparsity pattern — the score computation of
-    dot-product graph attention (no reference counterpart; BASELINE config 3).
-    """
-    return jnp.sum(x[graph.row] * y[graph.col], axis=-1)
-
-
-def spmm_transpose(graph: Graph, x: jax.Array) -> jax.Array:
-    """out = A^T @ X (swap row/col roles); used by tests and backward paths."""
-    gathered = x[graph.row] * graph.val[:, None].astype(x.dtype)
-    return jax.ops.segment_sum(gathered, graph.col, num_segments=graph.n_nodes)
+    """Sampled dense-dense matmul on the sparsity pattern:
+    ``s[e] = <x[row[e]], y[col[e]]>`` — the score computation of dot-product
+    graph attention (no reference counterpart; BASELINE config 3)."""
+    return edge_dot(graph.row, graph.col, x, y)

@@ -1,7 +1,7 @@
 from .dist import (EDGE_AXIS, FEAT_AXIS, graph_shardings, make_distributed_eval,
                    make_distributed_train_step, make_mesh, param_shardings,
                    place_state, shard_graph)
-from .partition import edge_balanced_ranges, pad_graph, partition_edges
+from .partition import pad_graph
 from .halo import (HaloExecutor, HaloPartition, build_halo_partition,
                    halo_spmm)
 from .multihost import (EDGE_HOST_AXIS, launch_distributed, make_pod_mesh,

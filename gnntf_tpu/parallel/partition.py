@@ -38,23 +38,3 @@ def pad_graph(graph: Graph, multiple: int) -> Graph:
     )
 
 
-def partition_edges(graph: Graph, num_parts: int):
-    """Split the (row-sorted) edge list into ``num_parts`` equal contiguous
-    chunks, padding the total to a multiple first.  Returns a Graph whose
-    arrays can be sharded on the leading edge axis (still flat [E_pad])."""
-    return pad_graph(graph, num_parts)
-
-
-def edge_balanced_ranges(row: np.ndarray, num_parts: int):
-    """Destination-contiguous, edge-balanced node ranges: partition p owns
-    destination rows [starts[p], starts[p+1]) such that edge counts are
-    near-equal.  Used by the halo/edge-partition executor."""
-    e = row.shape[0]
-    bounds = [0]
-    for p in range(1, num_parts):
-        target = p * e // num_parts
-        bounds.append(int(target))
-    bounds.append(e)
-    starts = [int(row[b]) if b < e else int(row[-1]) + 1 for b in bounds[:-1]]
-    starts[0] = 0
-    return starts

@@ -184,14 +184,17 @@ class LinkPrediction(Predictor):
 
     # -- device-side math ---------------------------------------------------
     def _logits(self, acts, edges, params):
+        from ..ops.spmm import edge_dot
         if self.similarity == "cos":
             sumsq = jnp.sum(jnp.square(acts), axis=1, keepdims=True)
             acts = acts * jax.lax.rsqrt(jnp.maximum(sumsq, 1e-12))
-        sims = acts[edges[:, 0]] * acts[edges[:, 1]]
         if self.r is None:
-            return jnp.sum(sims, axis=1)
+            # SDDMM on the candidate edge list
+            return edge_dot(edges[:, 0], edges[:, 1], acts)
+        # DistMult: <acts[u] * r, acts[v]> — fold r into the left operand
         r = params[self.r]
-        return jnp.dot(sims, r, preferred_element_type=sims.dtype)[:, 0]
+        return edge_dot(edges[:, 0], edges[:, 1], acts * r[:, 0][None, :],
+                        acts)
 
     def loss(self, acts, batch, params=None):
         edges, labels = batch

@@ -338,3 +338,41 @@ class TestELL:
         ref = np.asarray(g.to_dense()) @ np.asarray(x)
         np.testing.assert_allclose(np.asarray(spmm_ell(g, x, k=4)), ref,
                                    rtol=1e-5, atol=1e-5)
+
+
+class TestSDDMM:
+    """edge_dot / sddmm (ops/spmm.py): per-edge dot products on the
+    sparsity pattern — also LinkPrediction's scoring core."""
+
+    def test_sddmm_matches_dense(self):
+        from gnntf_tpu.graph import from_edges
+        from gnntf_tpu.ops import sddmm
+
+        rng = np.random.RandomState(0)
+        n, e = 50, 300
+        g = from_edges(rng.randint(0, n, e), rng.randint(0, n, e),
+                       n_nodes=n, directed=True)
+        x = jnp.asarray(rng.randn(n, 7), jnp.float32)
+        y = jnp.asarray(rng.randn(n, 7), jnp.float32)
+        scores = np.asarray(sddmm(g, x, y))
+        full = np.asarray(x) @ np.asarray(y).T
+        np.testing.assert_allclose(
+            scores, full[np.asarray(g.row), np.asarray(g.col)],
+            rtol=1e-5, atol=1e-6)
+
+    def test_edge_dot_is_link_prediction_score(self):
+        """The DistMult-folded edge_dot equals the explicit
+        sims @ r formulation used by the reference
+        (graph_predictor.py:120-124)."""
+        from gnntf_tpu.ops import edge_dot
+
+        rng = np.random.RandomState(1)
+        acts = jnp.asarray(rng.randn(30, 5), jnp.float32)
+        r = jnp.asarray(rng.rand(5, 1), jnp.float32)
+        edges = jnp.asarray(rng.randint(0, 30, (40, 2)), jnp.int32)
+        got = edge_dot(edges[:, 0], edges[:, 1],
+                       acts * r[:, 0][None, :], acts)
+        sims = acts[edges[:, 0]] * acts[edges[:, 1]]
+        want = (sims @ r)[:, 0]
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-6)

@@ -106,6 +106,35 @@ def test_gcnii_forward_parity(tiny_graph):
 
 
 @requires_ref
+def test_gcn_spectral_preserving_forward_parity(tiny_graph):
+    """The 2*(act(..)-b) spectral-preserving GCN variant
+    (reference gcn.py:93-106) as GCN's layer_type."""
+    import gnntf_tpu as gt
+    from gnntf.core.gnn.architectures.gcn import GCNSpectralPreservingLayer \
+        as RefSpectral
+    _parity_case(
+        lambda a, f: ref.GCN(a, f, num_classes=3, layer_type=RefSpectral),
+        lambda a, f: gt.GCN(a, f, num_classes=3,
+                            layer_type=gt.GCNSpectralPreservingLayer),
+        tiny_graph)
+
+
+@requires_ref
+def test_gcnii_spectral_preserving_forward_parity(tiny_graph):
+    """The biased spectral-preserving GCNII variant (reference gcn.py:30-52)
+    as GCNII's layer_type."""
+    import gnntf_tpu as gt
+    from gnntf.core.gnn.architectures.gcn import GCNIISpectralPreservingLayer \
+        as RefSpectral
+    _parity_case(
+        lambda a, f: ref.GCNII(a, f, num_classes=3, iterations=6,
+                               layer_type=RefSpectral),
+        lambda a, f: gt.GCNII(a, f, num_classes=3, iterations=6,
+                              layer_type=gt.GCNIISpectralPreservingLayer),
+        tiny_graph)
+
+
+@requires_ref
 def test_mlp_forward_parity(tiny_graph):
     import tensorflow as tf
     import gnntf_tpu as gt
