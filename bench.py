@@ -17,11 +17,21 @@ supports) on the same graph.  Falls back to recorded constants if TF is
 unavailable (the eager train epoch costs ~87s, so it is only re-measured
 when GNNTF_BENCH_TF_TRAIN=1).
 
-Prints ONE JSON line to stdout (extra keys carry the train-step metric);
-diagnostics to stderr.
+Robustness (the remote-TPU tunnel has been observed to wedge — BENCH_r02):
+the JAX measurements run in a **fresh child process per attempt**, retried
+up to GNNTF_BENCH_ATTEMPTS (default 3) times with a per-attempt timeout,
+so a wedged tunnel cannot poison the next try.  Every metric in the JSON
+line is annotated with the ``backend`` that produced it; if every TPU
+attempt fails the line carries ``"backend": "cpu-fallback"`` plus the
+last-known-good TPU measurement from ``bench_tpu_provenance.json``
+(committed whenever a TPU run succeeds) as a separate provenance field.
+
+Prints ONE JSON line to stdout (extra keys carry the train-step metric and
+provenance); diagnostics to stderr.
 """
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -44,6 +54,9 @@ FALLBACK_TF_TRAIN_EDGES_PER_S = 0.27e6
 N_CLASSES = 40
 N_TRAIN = 90_941  # ogbn-arxiv train split size
 
+PROVENANCE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_tpu_provenance.json")
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
@@ -55,11 +68,29 @@ def build_graph():
     return src, dst
 
 
+def _setup_jax_cache():
+    """Persistent compilation cache: the remote-compile (axon) backend has
+    been observed to take minutes per cold compile (BENCH_r02's 'hang' was
+    compile time, not execution — root-caused round 3); with the on-disk
+    cache a retried attempt or the driver's run hits warm entries."""
+    import jax
+    cache_dir = os.environ.get(
+        "GNNTF_JAX_CACHE",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".jax_cache"))
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as exc:  # noqa: BLE001 — cache is an optimization only
+        log(f"compilation cache unavailable: {exc!r}")
+
+
 def bench_jax(src, dst):
+    import dataclasses
     import jax
     import jax.numpy as jnp
     from functools import partial
-    import gnntf_tpu as gt
     from gnntf_tpu.graph import from_edges
     from gnntf_tpu.ops import normalize_adjacency, spmm
 
@@ -71,6 +102,11 @@ def bench_jax(src, dst):
     x0 = jnp.asarray(
         np.random.RandomState(1).randn(N_NODES, N_FEATURES), jnp.float32)
     normed = jax.jit(lambda g: normalize_adjacency(g, graph_dropout=0.0))(graph)
+    # normalization leaves the structure unchanged (no self-loops here);
+    # reattach the host-side row/col so layout builders (ELL/hybrid) work on
+    # numpy instead of fetching 2.3M indices back through the device tunnel
+    # (measured 169s device->host vs 0.7s host-side, round 3)
+    normed = dataclasses.replace(normed, row=graph.row, col=graph.col)
 
     # All ITERATIONS chained inside ONE jitted call (lax.fori_loop) so the
     # measurement amortizes dispatch/tunnel RTT, and the timed section ends
@@ -78,7 +114,7 @@ def bench_jax(src, dst):
     # backend block_until_ready() returns before execution completes, so a
     # fetch is the only honest completion barrier.  The graph is closed over
     # (a trace constant), the framework's idiomatic pattern — this lets the
-    # auto SpMM dispatcher select the row-split ELL formulation.
+    # auto SpMM dispatcher select its preferred formulation.
     @partial(jax.jit, static_argnums=1)
     def propagate(h0, k):
         def body(_, h):
@@ -257,69 +293,125 @@ def bench_tf(src, dst):
         return None
 
 
-def _bench_jax_guarded(src, dst):
-    """Run the JAX benchmark with a watchdog: the remote-TPU tunnel can
-    wedge (observed: trivial ops hang indefinitely).  On timeout or error,
-    re-run on the CPU backend in a subprocess so the driver always gets an
-    honestly-measured JSON line."""
-    import signal
+def _child_main():
+    """Run the JAX measurements in-process and print a machine-readable
+    result line.  Invoked in a fresh subprocess per attempt (the parent
+    enforces the timeout and retries) so a wedged TPU tunnel in one
+    attempt cannot poison the next."""
+    _setup_jax_cache()
+    import jax
 
-    timeout_s = int(os.environ.get("GNNTF_BENCH_TIMEOUT_S", "480"))
-
-    class _Timeout(Exception):
-        pass
-
-    def _raise(signum, frame):
-        raise _Timeout()
-
-    old = signal.signal(signal.SIGALRM, _raise)
-    signal.alarm(timeout_s)
+    dev = jax.devices()[0]
+    backend = getattr(dev, "platform", "unknown")
+    kind = getattr(dev, "device_kind", backend)
+    src, dst = build_graph()
+    eps, _ = bench_jax(src, dst)
+    result = {"edges_per_s": eps, "backend": backend, "device_kind": kind}
     try:
-        return bench_jax(src, dst)
-    except (_Timeout, Exception) as exc:  # noqa: BLE001
-        log(f"TPU bench failed/timed out ({exc!r}); falling back to CPU")
-    finally:
-        signal.alarm(0)
-        signal.signal(signal.SIGALRM, old)
-    import subprocess
-    out = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--cpu-child"],
-        capture_output=True, text=True, timeout=timeout_s,
-        env={**os.environ, "PALLAS_AXON_POOL_IPS": "",
-             "JAX_PLATFORMS": "cpu"})
-    for line in out.stdout.splitlines():
-        if line.startswith("CPU_EDGES_PER_S "):
-            return float(line.split()[1]), None
-    raise RuntimeError(f"cpu fallback failed: {out.stderr[-500:]}")
+        result["train_edges_per_s"] = bench_jax_train(src, dst)
+    except Exception as exc:  # noqa: BLE001 — train metric is secondary
+        log(f"train-step bench failed ({exc!r}); omitting")
+    print("CHILD_RESULT " + json.dumps(result), flush=True)
+
+
+def _run_child(timeout_s: int, force_cpu: bool):
+    env = dict(os.environ)
+    if force_cpu:
+        env.update({"PALLAS_AXON_POOL_IPS": "", "JAX_PLATFORMS": "cpu"})
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--child"],
+        stdout=subprocess.PIPE, stderr=sys.stderr, text=True, env=env,
+        start_new_session=True)
+    try:
+        out, _ = proc.communicate(timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        proc.kill()  # exact child PID — never kill by pattern
+        proc.wait()
+        return None, "timeout"
+    if proc.returncode != 0:
+        return None, f"exit={proc.returncode}"
+    for line in (out or "").splitlines():
+        if line.startswith("CHILD_RESULT "):
+            return json.loads(line[len("CHILD_RESULT "):]), None
+    return None, "no-result-line"
+
+
+def _measure_jax():
+    """Fresh-process TPU attempts with retry, then a CPU fallback.  Returns
+    the child-result dict (backend-annotated)."""
+    attempts = int(os.environ.get("GNNTF_BENCH_ATTEMPTS", "3"))
+    timeout_s = int(os.environ.get("GNNTF_BENCH_TIMEOUT_S", "420"))
+    for i in range(attempts):
+        log(f"bench attempt {i + 1}/{attempts} (timeout {timeout_s}s)")
+        result, err = _run_child(timeout_s, force_cpu=False)
+        if result is not None:
+            return result
+        log(f"attempt {i + 1} failed: {err}")
+    log("all TPU attempts failed; measuring on CPU (cpu-fallback)")
+    result, err = _run_child(timeout_s, force_cpu=True)
+    if result is None:
+        raise RuntimeError(f"cpu fallback failed too: {err}")
+    result["backend"] = "cpu-fallback"
+    return result
+
+
+def _load_provenance():
+    try:
+        with open(PROVENANCE_PATH) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return None
+
+
+def _store_provenance(result):
+    rec = {"date": time.strftime("%Y-%m-%d"),
+           "device_kind": result.get("device_kind"),
+           "edges_per_s": round(result["edges_per_s"])}
+    if result.get("train_edges_per_s"):
+        rec["train_edges_per_s"] = round(result["train_edges_per_s"])
+    try:
+        with open(PROVENANCE_PATH, "w") as fh:
+            json.dump(rec, fh)
+            fh.write("\n")
+    except OSError as exc:
+        log(f"could not store provenance: {exc!r}")
 
 
 def main():
-    if "--cpu-child" in sys.argv:
-        import jax
-        jax.config.update("jax_platforms", "cpu")
-        src, dst = build_graph()
-        eps, _ = bench_jax(src, dst)
-        print(f"CPU_EDGES_PER_S {eps}", flush=True)
+    if "--child" in sys.argv:
+        _child_main()
         return
+    measured = _measure_jax()
+    backend = measured["backend"]
+    is_tpu = backend not in ("cpu", "cpu-fallback")
+    if is_tpu:
+        _store_provenance(measured)
     src, dst = build_graph()
-    edges_per_s, _ = _bench_jax_guarded(src, dst)
-    try:
-        train_eps = bench_jax_train(src, dst)
-    except Exception as exc:  # noqa: BLE001 — train metric is secondary
-        log(f"train-step bench failed ({exc!r}); omitting")
-        train_eps = None
     tf_eps = bench_tf(src, dst)
     baseline = tf_eps if tf_eps else FALLBACK_TF_EDGES_PER_S
-    tf_train_eps = bench_tf_train(src, dst) or FALLBACK_TF_TRAIN_EDGES_PER_S
+    tf_train_eps = bench_tf_train(src, dst)
     result = {
         "metric": "spmm_propagation_edges_per_s_per_chip",
-        "value": round(edges_per_s),
+        "value": round(measured["edges_per_s"]),
         "unit": "edges/s",
-        "vs_baseline": round(edges_per_s / baseline, 3),
+        "vs_baseline": round(measured["edges_per_s"] / baseline, 3),
+        "backend": backend,
+        "device_kind": measured.get("device_kind"),
+        "baseline_backend": "tf-cpu-measured" if tf_eps
+        else "tf-cpu-recorded-2026-08-18",
     }
-    if train_eps is not None:
-        result["train_epoch_edges_per_s"] = round(train_eps)
-        result["train_vs_baseline"] = round(train_eps / tf_train_eps, 3)
+    if measured.get("train_edges_per_s"):
+        result["train_epoch_edges_per_s"] = round(
+            measured["train_edges_per_s"])
+        result["train_vs_baseline"] = round(
+            measured["train_edges_per_s"]
+            / (tf_train_eps or FALLBACK_TF_TRAIN_EDGES_PER_S), 3)
+        result["train_baseline_backend"] = ("tf-cpu-measured" if tf_train_eps
+                                            else "tf-cpu-recorded-2026-08-18")
+    if not is_tpu:
+        prov = _load_provenance()
+        if prov:
+            result["last_good_tpu"] = prov
     print(json.dumps(result), flush=True)
 
 

@@ -34,6 +34,7 @@ Implementations (select with :func:`set_spmm_impl`, default ``auto``):
 """
 from __future__ import annotations
 
+import contextvars
 import dataclasses
 from collections import OrderedDict
 from typing import Optional
@@ -44,48 +45,88 @@ import numpy as np
 
 from ..graph.coo import Graph
 
-_SPMM_IMPL = "auto"  # "auto" | "segment" | "ell" | "pallas"
+_IMPL_NAMES = ("auto", "segment", "ell", "hybrid", "pallas")
 _ELL_MIN_EDGES = 65_536
 _ELL_DEFAULT_K = 8
 
-# Optional executor override: a callable ``(graph, x) -> out`` that takes
-# precedence over every impl above.  Distributed runs install one (e.g.
+# Dispatch state.  Both the impl selection and the executor override are
+# contextvars, NOT module globals: contextvars are per-thread (and
+# per-asyncio-task), so two threads tracing two different meshes — each
+# scoping its own ``spmm_executor``/``spmm_impl`` — can never cross-talk.
+# jit tracing is synchronous within the calling thread, which is exactly
+# the scope a contextvar provides.
+#
+# ``_SPMM_IMPL_DEFAULT`` is the process-wide fallback mutated by
+# :func:`set_spmm_impl` (a plain assignment — atomic in CPython, but
+# intended to be called once at startup, not raced); the contextvar, set by
+# the scoping context managers below, takes precedence in its context.
+_SPMM_IMPL_DEFAULT = "auto"
+_SPMM_IMPL_VAR: contextvars.ContextVar[Optional[str]] = \
+    contextvars.ContextVar("gnntf_spmm_impl", default=None)
+
+# Executor override: a callable ``(graph, x) -> out`` that takes precedence
+# over every impl.  Distributed runs install one (e.g.
 # ``parallel.halo.HaloExecutor``) around jit tracing so every propagation
 # layer's SpMM routes through an explicit shard_map executor instead of
 # relying on GSPMD sharding propagation.  Trace-scoped: it only needs to be
 # set while the step function traces.
-_SPMM_EXECUTOR = None
-
-
-def set_spmm_executor(fn) -> None:
-    """Install (or with ``None`` remove) the global SpMM executor override."""
-    global _SPMM_EXECUTOR
-    _SPMM_EXECUTOR = fn
+_SPMM_EXECUTOR_VAR: contextvars.ContextVar[Optional[object]] = \
+    contextvars.ContextVar("gnntf_spmm_executor", default=None)
 
 
 class spmm_executor:
-    """Context manager scoping an executor override to a trace/call."""
+    """Context manager scoping an executor override to a trace/call.
+
+    Contextvar-backed: scoping is per-thread, so concurrent traces on
+    different threads (e.g. two ``fit(mesh=...)`` calls over two meshes)
+    each see only their own executor."""
 
     def __init__(self, fn):
         self.fn = fn
 
     def __enter__(self):
-        global _SPMM_EXECUTOR
-        self._prev = _SPMM_EXECUTOR
-        _SPMM_EXECUTOR = self.fn
+        self._token = _SPMM_EXECUTOR_VAR.set(self.fn)
         return self.fn
 
     def __exit__(self, *exc):
-        global _SPMM_EXECUTOR
-        _SPMM_EXECUTOR = self._prev
+        _SPMM_EXECUTOR_VAR.reset(self._token)
         return False
 
 
+class spmm_impl:
+    """Context manager scoping the SpMM implementation selection
+    (``auto``/``segment``/``ell``/``hybrid``/``pallas``) to a trace/call —
+    the per-call analogue of :func:`set_spmm_impl`, race-free under
+    threaded tracing.  ``None`` defers to the process default."""
+
+    def __init__(self, name: Optional[str]):
+        if name is not None and name not in _IMPL_NAMES:
+            raise ValueError(name)
+        self.name = name
+
+    def __enter__(self):
+        self._token = _SPMM_IMPL_VAR.set(self.name)
+        return self.name
+
+    def __exit__(self, *exc):
+        _SPMM_IMPL_VAR.reset(self._token)
+        return False
+
+
+def set_spmm_executor(fn) -> None:
+    """Install (or with ``None`` remove) the executor override for the
+    *current context* (thread).  Prefer the :class:`spmm_executor` scope."""
+    _SPMM_EXECUTOR_VAR.set(fn)
+
+
 def set_spmm_impl(name: str) -> None:
-    global _SPMM_IMPL
-    if name not in ("auto", "segment", "ell", "hybrid", "pallas"):
+    """Set the process-wide default SpMM implementation.  For per-call /
+    per-trace selection use :class:`spmm_impl` (or ``fit(spmm_impl=...)``),
+    which is safe under concurrent tracing."""
+    global _SPMM_IMPL_DEFAULT
+    if name not in _IMPL_NAMES:
         raise ValueError(name)
-    _SPMM_IMPL = name
+    _SPMM_IMPL_DEFAULT = name
 
 
 def spmm_segment(graph: Graph, x: jax.Array) -> jax.Array:
@@ -400,9 +441,10 @@ def _structure_is_concrete(graph: Graph) -> bool:
 
 def spmm(graph: Graph, x: jax.Array) -> jax.Array:
     """Dispatching SpMM entry point used by all propagation layers."""
-    if _SPMM_EXECUTOR is not None:
-        return _SPMM_EXECUTOR(graph, x)
-    impl = _SPMM_IMPL
+    executor = _SPMM_EXECUTOR_VAR.get()
+    if executor is not None:
+        return executor(graph, x)
+    impl = _SPMM_IMPL_VAR.get() or _SPMM_IMPL_DEFAULT
     if impl == "auto":
         impl = ("hybrid" if graph.n_edges >= _ELL_MIN_EDGES
                 and _structure_is_concrete(graph) else "segment")

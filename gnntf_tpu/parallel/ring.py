@@ -24,8 +24,10 @@ against the single-chip segment-sum SpMM, including gradients.
 """
 from __future__ import annotations
 
+from collections import OrderedDict
 from dataclasses import dataclass
 from functools import partial
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -170,3 +172,50 @@ def ring_spmm(part: RingPartition, x: jax.Array, mesh: Mesh,
     out = fn(xs, part.rows, part.cols, vals)
     out = out.reshape(part.padded_nodes, -1)
     return out[: part.n_nodes]
+
+
+class RingExecutor:
+    """An ``ops.spmm`` executor override routing every propagation layer's
+    SpMM through :func:`ring_spmm` — the ring-rotation counterpart of
+    ``halo.HaloExecutor`` (same caching discipline: partitions built
+    host-side per graph *structure*, keyed on ``id(row)`` with a strong
+    reference pinned in the value, bounded LRU).
+
+    ``fit(mesh=..., spmm="ring")`` installs one around the jitted train and
+    eval steps; live (possibly traced) edge values — per-step edge dropout
+    and renormalization included — flow through ``ring_spmm``'s value
+    scatter."""
+
+    _CACHE_MAX = 16
+
+    def __init__(self, mesh: Mesh, n_parts: Optional[int] = None):
+        self.mesh = mesh
+        self.n_parts = int(mesh.shape[EDGE_AXIS]) if n_parts is None \
+            else n_parts
+        self._plans: OrderedDict = OrderedDict()
+
+    def partition_for(self, graph: Graph) -> RingPartition:
+        key = id(graph.row)
+        hit = self._plans.get(key)
+        if hit is not None and hit[0] is graph.row:
+            self._plans.move_to_end(key)
+            return hit[1]
+        if isinstance(graph.row, jax.core.Tracer):
+            raise TypeError(
+                "RingExecutor needs a concrete edge structure; the graph "
+                "row/col arrived as tracers (close over the graph instead "
+                "of passing it as a jit argument)")
+        structure = Graph(
+            row=np.asarray(graph.row), col=np.asarray(graph.col),
+            val=np.ones(graph.n_edges, np.float32), n_nodes=graph.n_nodes,
+            num_self_loop=graph.num_self_loop,
+            sorted_by_row=graph.sorted_by_row)
+        plan = build_ring_partition(structure, self.n_parts)
+        self._plans[key] = (graph.row, plan)
+        while len(self._plans) > self._CACHE_MAX:
+            self._plans.popitem(last=False)
+        return plan
+
+    def __call__(self, graph: Graph, x: jax.Array) -> jax.Array:
+        plan = self.partition_for(graph)
+        return ring_spmm(plan, x, self.mesh, graph.val)

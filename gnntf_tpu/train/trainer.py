@@ -139,7 +139,8 @@ class Trainable(Network):
               block_epochs: int = 1, callbacks=(),
               checkpoint_dir: Optional[str] = None,
               checkpoint_every: int = 25, resume: bool = False, mesh=None,
-              spmm: Optional[str] = None, init_params=None):
+              spmm: Optional[str] = None, spmm_impl: Optional[str] = None,
+              init_params=None):
         return fit(self, train, valid=valid, test=test, patience=patience,
                    learning_rate=learning_rate, regularization=regularization,
                    verbose=verbose, epochs=epochs, degradation=degradation,
@@ -147,7 +148,8 @@ class Trainable(Network):
                    block_epochs=block_epochs, callbacks=callbacks,
                    checkpoint_dir=checkpoint_dir,
                    checkpoint_every=checkpoint_every, resume=resume,
-                   mesh=mesh, spmm=spmm, init_params=init_params)
+                   mesh=mesh, spmm=spmm, spmm_impl=spmm_impl,
+                   init_params=init_params)
 
 
 def _total_loss(model: Trainable, task: Predictor, params: Params, features,
@@ -169,7 +171,7 @@ def fit(model: Trainable, train: Predictor, valid: Optional[Predictor] = None,
         block_epochs: int = 1, callbacks=(),
         checkpoint_dir: Optional[str] = None, checkpoint_every: int = 25,
         resume: bool = False, mesh=None, spmm: Optional[str] = None,
-        init_params=None):
+        spmm_impl: Optional[str] = None, init_params=None):
     """Train ``model`` in place; leaves best-validation params on
     ``model.params`` and returns a history dict.
 
@@ -184,8 +186,15 @@ def fit(model: Trainable, train: Predictor, valid: Optional[Predictor] = None,
     weights feature-sharded, gradients synced by GSPMD collectives —
     early-stopping/patience/checkpoint semantics identical to the local
     path.  ``spmm`` selects the distributed propagation executor:
-    ``None``/"gspmd" (edge-sharded arrays, XLA-inserted collectives) or
-    "halo" (explicit shard_map halo-exchange all_to_all, SURVEY §5.7).
+    ``None``/"gspmd" (edge-sharded arrays, XLA-inserted collectives),
+    "halo" (explicit shard_map halo-exchange all_to_all, SURVEY §5.7) or
+    "ring" (feature blocks rotated with ppermute, ring-attention style).
+
+    ``spmm_impl`` selects the single-chip SpMM formulation
+    (``segment``/``ell``/``hybrid``/``pallas``/``auto``) for this call
+    only — contextvar-scoped, so concurrent ``fit`` calls on different
+    threads cannot cross-talk (unlike the process-global
+    ``ops.spmm.set_spmm_impl``).
 
     ``init_params`` injects a specific initial parameter pytree instead of
     a fresh ``reset(seed)`` — used for warm starts and for golden
@@ -202,10 +211,10 @@ def fit(model: Trainable, train: Predictor, valid: Optional[Predictor] = None,
 
     trainable = {s.name: s.trainable for s in model.param_specs}
 
-    if spmm not in (None, "gspmd", "halo"):
-        raise ValueError(f"spmm executor must be None, 'gspmd' or 'halo', "
-                         f"got {spmm!r}")
-    if mesh is not None and spmm != "halo":
+    if spmm not in (None, "gspmd", "halo", "ring"):
+        raise ValueError(f"spmm executor must be None, 'gspmd', 'halo' or "
+                         f"'ring', got {spmm!r}")
+    if mesh is not None and spmm not in ("halo", "ring"):
         from ..parallel import (make_distributed_eval,
                                 make_distributed_train_step, place_state,
                                 shard_graph)
@@ -245,15 +254,19 @@ def fit(model: Trainable, train: Predictor, valid: Optional[Predictor] = None,
         def eval_acts(params):
             return model.apply(params, model.features, training=False)
 
-        if mesh is not None:  # spmm == "halo"
+        if mesh is not None:  # spmm == "halo" | "ring"
             # same closures (model closes over the concrete graph), but every
             # ops.spmm call inside the trace routes through the explicit
-            # halo-exchange shard_map executor on the given mesh.  The
-            # override only needs to be live while jit traces, so each call
-            # scopes it (post-compile this is a cheap global toggle).
+            # shard_map executor on the given mesh.  The override only needs
+            # to be live while jit traces, so each call scopes it
+            # (post-compile this is a cheap contextvar toggle).
             from ..ops.spmm import spmm_executor
-            from ..parallel.halo import HaloExecutor
-            executor = HaloExecutor(mesh)
+            if spmm == "ring":
+                from ..parallel.ring import RingExecutor
+                executor = RingExecutor(mesh)
+            else:
+                from ..parallel.halo import HaloExecutor
+                executor = HaloExecutor(mesh)
 
             def _scoped(fn):
                 def wrapped(*args):
@@ -263,6 +276,23 @@ def fit(model: Trainable, train: Predictor, valid: Optional[Predictor] = None,
 
             train_step = _scoped(train_step)
             eval_acts = _scoped(eval_acts)
+
+    if spmm_impl is not None:
+        # per-call formulation selection, contextvar-scoped around each
+        # step invocation (only tracing actually consults it)
+        from ..ops.spmm import spmm_impl as _impl_scope, _IMPL_NAMES
+        if spmm_impl not in _IMPL_NAMES:
+            raise ValueError(f"spmm_impl must be one of {_IMPL_NAMES}, "
+                             f"got {spmm_impl!r}")
+
+        def _impl_scoped(fn):
+            def wrapped(*args):
+                with _impl_scope(spmm_impl):
+                    return fn(*args)
+            return wrapped
+
+        train_step = _impl_scoped(train_step)
+        eval_acts = _impl_scoped(eval_acts)
 
     valid_loss_fn = jax.jit(
         lambda acts, batch, params: valid.loss(acts, batch, params=params))
