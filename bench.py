@@ -293,11 +293,13 @@ def bench_tf(src, dst):
         return None
 
 
-def _child_main():
-    """Run the JAX measurements in-process and print a machine-readable
-    result line.  Invoked in a fresh subprocess per attempt (the parent
-    enforces the timeout and retries) so a wedged TPU tunnel in one
-    attempt cannot poison the next."""
+def _child_main(phase: str):
+    """Run ONE JAX measurement phase in-process and print a
+    machine-readable result line.  Invoked in a fresh subprocess per
+    attempt (the parent enforces the timeout and retries) so a wedged TPU
+    tunnel in one attempt cannot poison the next; phases are separate
+    child invocations so a train-step compile overrun cannot discard an
+    already-measured propagation number (the r02 failure mode)."""
     _setup_jax_cache()
     import jax
 
@@ -305,21 +307,20 @@ def _child_main():
     backend = getattr(dev, "platform", "unknown")
     kind = getattr(dev, "device_kind", backend)
     src, dst = build_graph()
-    eps, _ = bench_jax(src, dst)
+    if phase == "prop":
+        eps, _ = bench_jax(src, dst)
+    else:
+        eps = bench_jax_train(src, dst)
     result = {"edges_per_s": eps, "backend": backend, "device_kind": kind}
-    try:
-        result["train_edges_per_s"] = bench_jax_train(src, dst)
-    except Exception as exc:  # noqa: BLE001 — train metric is secondary
-        log(f"train-step bench failed ({exc!r}); omitting")
     print("CHILD_RESULT " + json.dumps(result), flush=True)
 
 
-def _run_child(timeout_s: int, force_cpu: bool):
+def _run_child(phase: str, timeout_s: int, force_cpu: bool):
     env = dict(os.environ)
     if force_cpu:
         env.update({"PALLAS_AXON_POOL_IPS": "", "JAX_PLATFORMS": "cpu"})
     proc = subprocess.Popen(
-        [sys.executable, os.path.abspath(__file__), "--child"],
+        [sys.executable, os.path.abspath(__file__), "--child", phase],
         stdout=subprocess.PIPE, stderr=sys.stderr, text=True, env=env,
         start_new_session=True)
     try:
@@ -336,21 +337,25 @@ def _run_child(timeout_s: int, force_cpu: bool):
     return None, "no-result-line"
 
 
-def _measure_jax():
-    """Fresh-process TPU attempts with retry, then a CPU fallback.  Returns
-    the child-result dict (backend-annotated)."""
-    attempts = int(os.environ.get("GNNTF_BENCH_ATTEMPTS", "3"))
-    timeout_s = int(os.environ.get("GNNTF_BENCH_TIMEOUT_S", "420"))
+def _measure_phase(phase: str, attempts: int, timeout_s: int,
+                   cpu_fallback: bool):
+    """Fresh-process TPU attempts with retry for one phase, then an
+    optional CPU fallback.  Returns the child-result dict
+    (backend-annotated) or None."""
     for i in range(attempts):
-        log(f"bench attempt {i + 1}/{attempts} (timeout {timeout_s}s)")
-        result, err = _run_child(timeout_s, force_cpu=False)
+        log(f"[{phase}] attempt {i + 1}/{attempts} (timeout {timeout_s}s)")
+        result, err = _run_child(phase, timeout_s, force_cpu=False)
         if result is not None:
             return result
-        log(f"attempt {i + 1} failed: {err}")
-    log("all TPU attempts failed; measuring on CPU (cpu-fallback)")
-    result, err = _run_child(timeout_s, force_cpu=True)
+        log(f"[{phase}] attempt {i + 1} failed: {err}")
+    if not cpu_fallback:
+        return None
+    log(f"[{phase}] all TPU attempts failed; measuring on CPU "
+        f"(cpu-fallback)")
+    result, err = _run_child(phase, timeout_s, force_cpu=True)
     if result is None:
-        raise RuntimeError(f"cpu fallback failed too: {err}")
+        log(f"[{phase}] cpu fallback failed too: {err}")
+        return None
     result["backend"] = "cpu-fallback"
     return result
 
@@ -363,12 +368,15 @@ def _load_provenance():
         return None
 
 
-def _store_provenance(result):
-    rec = {"date": time.strftime("%Y-%m-%d"),
-           "device_kind": result.get("device_kind"),
-           "edges_per_s": round(result["edges_per_s"])}
-    if result.get("train_edges_per_s"):
-        rec["train_edges_per_s"] = round(result["train_edges_per_s"])
+def _store_provenance(prop, train):
+    rec = _load_provenance() or {}
+    if prop is not None:
+        rec.update({"date": time.strftime("%Y-%m-%d"),
+                    "device_kind": prop.get("device_kind"),
+                    "edges_per_s": round(prop["edges_per_s"])})
+    if train is not None:
+        rec.update({"train_date": time.strftime("%Y-%m-%d"),
+                    "train_edges_per_s": round(train["edges_per_s"])})
     try:
         with open(PROVENANCE_PATH, "w") as fh:
             json.dump(rec, fh)
@@ -377,38 +385,51 @@ def _store_provenance(result):
         log(f"could not store provenance: {exc!r}")
 
 
+def _is_tpu(result):
+    return result is not None and result["backend"] not in ("cpu",
+                                                            "cpu-fallback")
+
+
 def main():
     if "--child" in sys.argv:
-        _child_main()
+        _child_main(sys.argv[sys.argv.index("--child") + 1])
         return
-    measured = _measure_jax()
-    backend = measured["backend"]
-    is_tpu = backend not in ("cpu", "cpu-fallback")
-    if is_tpu:
-        _store_provenance(measured)
+    attempts = int(os.environ.get("GNNTF_BENCH_ATTEMPTS", "3"))
+    timeout_s = int(os.environ.get("GNNTF_BENCH_TIMEOUT_S", "420"))
+    prop = _measure_phase("prop", attempts, timeout_s, cpu_fallback=True)
+    if prop is None:
+        raise RuntimeError("propagation bench failed on every backend")
+    # the train phase gets fewer attempts (its compile is the biggest
+    # program in the repo; each timed-out attempt also leaves the shared
+    # remote compile service busy) and no result is preferable to an
+    # unlabeled bogus one — provenance records the last good TPU number
+    train = _measure_phase("train", max(1, attempts - 1), timeout_s,
+                           cpu_fallback=True)
+    _store_provenance(prop if _is_tpu(prop) else None,
+                      train if _is_tpu(train) else None)
     src, dst = build_graph()
     tf_eps = bench_tf(src, dst)
     baseline = tf_eps if tf_eps else FALLBACK_TF_EDGES_PER_S
     tf_train_eps = bench_tf_train(src, dst)
     result = {
         "metric": "spmm_propagation_edges_per_s_per_chip",
-        "value": round(measured["edges_per_s"]),
+        "value": round(prop["edges_per_s"]),
         "unit": "edges/s",
-        "vs_baseline": round(measured["edges_per_s"] / baseline, 3),
-        "backend": backend,
-        "device_kind": measured.get("device_kind"),
+        "vs_baseline": round(prop["edges_per_s"] / baseline, 3),
+        "backend": prop["backend"],
+        "device_kind": prop.get("device_kind"),
         "baseline_backend": "tf-cpu-measured" if tf_eps
         else "tf-cpu-recorded-2026-08-18",
     }
-    if measured.get("train_edges_per_s"):
-        result["train_epoch_edges_per_s"] = round(
-            measured["train_edges_per_s"])
+    if train is not None:
+        result["train_epoch_edges_per_s"] = round(train["edges_per_s"])
+        result["train_backend"] = train["backend"]
         result["train_vs_baseline"] = round(
-            measured["train_edges_per_s"]
+            train["edges_per_s"]
             / (tf_train_eps or FALLBACK_TF_TRAIN_EDGES_PER_S), 3)
         result["train_baseline_backend"] = ("tf-cpu-measured" if tf_train_eps
                                             else "tf-cpu-recorded-2026-08-18")
-    if not is_tpu:
+    if not _is_tpu(prop) or not _is_tpu(train):
         prov = _load_provenance()
         if prov:
             result["last_good_tpu"] = prov
