@@ -38,6 +38,17 @@ class Graph:
     self-loop (identity) entries appended by :func:`add_self_loops`; edge
     dropout never touches them (the reference adds the eye *after* dropout,
     gnntf/core/gnn/gnn.py:37-39).
+
+    **Lazy diagonal scaling** (``row_scale``/``col_scale``, per-node
+    vectors): the effective matrix is ``diag(row_scale) A diag(col_scale)``.
+    Normalization (D^{-1/2} A D^{-1/2} etc.) stores its degree vectors here
+    instead of scaling every edge value: per-edge scaling costs two E-sized
+    scalar gathers per layer per step (the TPU gather unit sustains only
+    ~10^8 rows/s), while the SpMM applies the same math as two (N, F)
+    row-wise multiplies around the product —
+    ``D ⊙ (A @ (D ⊙ x)) == (D A D) @ x`` exactly, up to float
+    reassociation.  ``None`` means identity.  Use :meth:`materialized` when
+    per-edge values are genuinely needed.
     """
 
     row: jax.Array            # [E] int32 destination ids
@@ -46,6 +57,8 @@ class Graph:
     n_nodes: int = dataclasses.field(metadata=dict(static=True))
     num_self_loop: int = dataclasses.field(default=0, metadata=dict(static=True))
     sorted_by_row: bool = dataclasses.field(default=False, metadata=dict(static=True))
+    row_scale: Optional[jax.Array] = None   # [N] or None (identity)
+    col_scale: Optional[jax.Array] = None   # [N] or None (identity)
 
     @property
     def n_edges(self) -> int:
@@ -55,10 +68,29 @@ class Graph:
     def shape(self):
         return (self.n_nodes, self.n_nodes)
 
+    @property
+    def scaled(self) -> bool:
+        return self.row_scale is not None or self.col_scale is not None
+
+    def materialized(self) -> "Graph":
+        """Fold the lazy diagonal scales into per-edge values (two E-sized
+        gathers — the cost the lazy representation exists to avoid; call
+        only where per-edge values are required)."""
+        if not self.scaled:
+            return self
+        val = self.val
+        if self.row_scale is not None:
+            val = val * self.row_scale[self.row].astype(val.dtype)
+        if self.col_scale is not None:
+            val = val * self.col_scale[self.col].astype(val.dtype)
+        return dataclasses.replace(self, val=val, row_scale=None,
+                                   col_scale=None)
+
     def to_dense(self) -> jax.Array:
         """Densify (testing only)."""
-        a = jnp.zeros(self.shape, self.val.dtype)
-        return a.at[self.row, self.col].add(self.val)
+        g = self.materialized()
+        a = jnp.zeros(g.shape, g.val.dtype)
+        return a.at[g.row, g.col].add(g.val)
 
 
 def from_edges(
@@ -119,7 +151,11 @@ def add_self_loops(graph: Graph, weight: float = 1.0) -> Graph:
     Mirrors ``tf.sparse.add(graph, tf.sparse.eye(n))``
     (reference gnn.py:38-39, :48-49); duplicate entries are summed implicitly
     by downstream segment sums.
+
+    A lazily-scaled graph is materialized first: the appended identity
+    entries must contribute exactly ``weight``, not ``rs[i]*weight*cs[i]``.
     """
+    graph = graph.materialized()
     n = graph.n_nodes
     eye = jnp.arange(n, dtype=jnp.int32)
     return Graph(

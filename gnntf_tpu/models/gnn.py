@@ -32,10 +32,13 @@ class GNN(Trainable):
     def get_adjacency(self, graph_dropout: float = 0.5,
                       normalized: str = "symmetric", add_eye: str = "none"):
         """Deterministic (dropout-off) normalized adjacency for host-side
-        inspection; the in-trace version lives on the Forward context."""
+        inspection; the in-trace version lives on the Forward context.
+        Materialized (per-edge values) — inspection wants concrete values,
+        and this path is not the hot loop."""
         from ..ops.normalize import normalize_adjacency
         return normalize_adjacency(self.graph, graph_dropout=0.0,
-                                   normalized=normalized, add_eye=add_eye)
+                                   normalized=normalized,
+                                   add_eye=add_eye).materialized()
 
 
 class Structural(Layer):

@@ -196,6 +196,11 @@ def spmm_pallas(graph: Graph, x: jax.Array, *, interpret: bool | None = None,
     """
     if not _PALLAS_OK:
         raise RuntimeError("pallas unavailable in this environment")
+    if graph.scaled:
+        from ..spmm import _scaled_call
+        return _scaled_call(spmm_pallas, graph, x, interpret=interpret,
+                            bf16=bf16, window=window, tile=tile,
+                            block_edges=block_edges)
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
     blocked = _blocked_layout(graph, window, tile, block_edges)

@@ -129,8 +129,23 @@ def set_spmm_impl(name: str) -> None:
     _SPMM_IMPL_DEFAULT = name
 
 
+def _scaled_call(fn, graph: Graph, x: jax.Array, **kw) -> jax.Array:
+    """Apply a lazily-scaled graph's diagonal scales as (N, F) row-wise
+    multiplies around ``fn`` on the unscaled base graph (see ``spmm``)."""
+    rs, cs = graph.row_scale, graph.col_scale
+    base = dataclasses.replace(graph, row_scale=None, col_scale=None)
+    if cs is not None:
+        x = x * cs[:, None].astype(x.dtype)
+    out = fn(base, x, **kw)
+    if rs is not None:
+        out = out * rs[:, None].astype(out.dtype)
+    return out
+
+
 def spmm_segment(graph: Graph, x: jax.Array) -> jax.Array:
     """out[i, :] = sum_e{row[e]=i} val[e] * x[col[e], :]  (out = A @ X)."""
+    if graph.scaled:
+        return _scaled_call(spmm_segment, graph, x)
     gathered = x[graph.col] * graph.val[:, None].astype(x.dtype)
     return jax.ops.segment_sum(
         gathered,
@@ -174,6 +189,11 @@ class ELLLayout:
     dup_order: Optional[np.ndarray] = None  # (E,) sort to (row,col) order
     dup_seg: Optional[np.ndarray] = None    # (E,) unique-pair id, sorted
     n_unique: int = 0
+    # (E,) int32 — flat value-grid slot per ORIGINAL edge (duplicates share
+    # a slot, so one scatter-ADD from original edge order both coalesces and
+    # places the live values; replaces the gather-based coalesce, whose
+    # E-sized val[dup_order] gather is ~10x slower than a scatter on TPU)
+    edge_slot: Optional[np.ndarray] = None
 
     # Leaves are numpy on purpose: the layout may be built lazily inside a
     # jit trace, where jnp.asarray would lift them into tracers that poison
@@ -217,9 +237,11 @@ def build_ell(row: np.ndarray, col: np.ndarray, n_nodes: int,
         if n_u < e:
             uid = np.cumsum(new, dtype=np.int64) - 1
             base = build_ell(rs[new], cs[new], n_nodes, k, dedup=False)
+            es = np.empty(e, np.int32)
+            es[order] = base.slot[uid]
             return dataclasses.replace(
                 base, dup_order=order.astype(np.int32),
-                dup_seg=uid.astype(np.int32), n_unique=n_u)
+                dup_seg=uid.astype(np.int32), n_unique=n_u, edge_slot=es)
     if e and n_nodes < 2**31 and row.max() < n_nodes and col.max() <= n_nodes:
         deg = np.bincount(row, minlength=n_nodes)
         v_total = int(np.sum(-(-deg // k)))
@@ -228,10 +250,11 @@ def build_ell(row: np.ndarray, col: np.ndarray, n_nodes: int,
             built = build_ell_native(row, col, n_nodes, k, v_total)
             if built is not None:
                 idx, slot, vrow_row = built
+                slot = np.asarray(slot, np.int32)
                 return ELLLayout(idx=np.asarray(idx, np.int32),
-                                 slot=np.asarray(slot, np.int32),
+                                 slot=slot,
                                  vrow_row=np.asarray(vrow_row, np.int32),
-                                 k=k, n_nodes=n_nodes)
+                                 k=k, n_nodes=n_nodes, edge_slot=slot)
     order = None
     if e and np.any(row[1:] < row[:-1]):
         order = np.argsort(row, kind="stable")
@@ -258,8 +281,9 @@ def build_ell(row: np.ndarray, col: np.ndarray, n_nodes: int,
     vrow_row = np.repeat(np.arange(n_nodes, dtype=np.int32), vrows_per_row)
     if vrow_row.shape[0] == 0:
         vrow_row = np.zeros(1, np.int32)
-    return ELLLayout(idx=idx, slot=slot.astype(np.int32),
-                     vrow_row=vrow_row, k=k, n_nodes=n_nodes)
+    slot = slot.astype(np.int32)
+    return ELLLayout(idx=idx, slot=slot,
+                     vrow_row=vrow_row, k=k, n_nodes=n_nodes, edge_slot=slot)
 
 
 _ELL_CACHE: OrderedDict = OrderedDict()
@@ -283,21 +307,28 @@ def _ell_layout(graph: Graph, k: int) -> ELLLayout:
     return layout
 
 
-def _ell_apply(layout: ELLLayout, val: jax.Array, x: jax.Array,
-               n_nodes: int, slots_sorted: bool = True) -> jax.Array:
-    """The ELL compute: slot scatter -> padded gather -> dense k-sum ->
-    sorted virtual-row combine.  ``val`` must be per layout edge."""
-    v_total = layout.n_vrows
-    vals = jnp.zeros((v_total * layout.k,), x.dtype)
-    vals = vals.at[layout.slot].set(val.astype(x.dtype),
-                                    indices_are_sorted=slots_sorted,
-                                    unique_indices=True)
-    vals = vals.reshape(v_total, layout.k)
+def _ell_compute(layout: ELLLayout, vals: jax.Array, x: jax.Array,
+                 n_nodes: int) -> jax.Array:
+    """The ELL compute on a pre-scattered (V, k) value grid: padded gather
+    -> dense k-sum -> sorted virtual-row combine."""
     xp = jnp.concatenate([x, jnp.zeros((1, x.shape[1]), x.dtype)], axis=0)
     partial = (xp[layout.idx] * vals[:, :, None]).sum(axis=1)
     return jax.ops.segment_sum(partial, layout.vrow_row,
                                num_segments=n_nodes,
                                indices_are_sorted=True)
+
+
+def _ell_apply(layout: ELLLayout, val: jax.Array, x: jax.Array,
+               n_nodes: int, slots_sorted: bool = True) -> jax.Array:
+    """ELL compute from per-*unique*-edge values (kept for callers that
+    already coalesced; the production path scatters per-original values,
+    see :func:`spmm_ell`)."""
+    v_total = layout.n_vrows
+    vals = jnp.zeros((v_total * layout.k,), x.dtype)
+    vals = vals.at[layout.slot].set(val.astype(x.dtype),
+                                    indices_are_sorted=slots_sorted,
+                                    unique_indices=True)
+    return _ell_compute(layout, vals.reshape(v_total, layout.k), x, n_nodes)
 
 
 def spmm_ell(graph: Graph, x: jax.Array, k: int = _ELL_DEFAULT_K) -> jax.Array:
@@ -306,12 +337,24 @@ def spmm_ell(graph: Graph, x: jax.Array, k: int = _ELL_DEFAULT_K) -> jax.Array:
     Requires concrete (non-traced) ``graph.row``/``graph.col``; the usual
     case — models close over the graph rather than passing it as a jit
     argument, so the structure is a trace constant.  ``graph.val`` may be
-    traced (dropout/renormalization happen per step)."""
+    traced (dropout/renormalization happen per step).
+
+    Live values are routed into the (V, k) grid with ONE scatter-add from
+    original edge order (``layout.edge_slot``): duplicate (row, col) pairs
+    share a slot, so the add coalesces them for free — no E-sized
+    ``val[dup_order]`` gather on the hot path."""
+    if graph.scaled:
+        return _scaled_call(spmm_ell, graph, x, k=k)
     layout = _ell_layout(graph, k)
-    val = layout.coalesce_values(graph.val)
-    slots_sorted = True if layout.dup_order is not None \
-        else graph.sorted_by_row
-    return _ell_apply(layout, val, x, graph.n_nodes, slots_sorted)
+    v_total = layout.n_vrows
+    unique = layout.dup_order is None
+    vals = jnp.zeros((v_total * layout.k,), x.dtype)
+    vals = vals.at[layout.edge_slot].add(
+        graph.val.astype(x.dtype),
+        indices_are_sorted=unique and graph.sorted_by_row,
+        unique_indices=unique)
+    return _ell_compute(layout, vals.reshape(v_total, layout.k), x,
+                        graph.n_nodes)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -334,6 +377,12 @@ class HybridLayout:
     hub_ids: np.ndarray              # (H,) int32 hub node ids
     n_hubs: int
     n_nodes: int
+    # Per-ORIGINAL-edge routing (exactly one is in range per edge; the
+    # other holds an out-of-range sentinel dropped by scatter mode="drop"):
+    # one scatter-add places+coalesces the live values of each half with no
+    # gathers on the hot path (see spmm_hybrid).
+    ell_slot_of_edge: Optional[np.ndarray] = None    # (E,) into rest grid
+    dense_flat_of_edge: Optional[np.ndarray] = None  # (E,) into (N*H,)
 
     def unique_values(self, val: jax.Array) -> jax.Array:
         if self.dup_order is not None:
@@ -388,12 +437,29 @@ def build_hybrid(row, col, n_nodes: int, k: int = _ELL_DEFAULT_K,
     hub_pos[hub_ids] = np.arange(n_hubs)
     is_hub = hub_pos[cu] >= 0
     rest = build_ell(ru[~is_hub], cu[~is_hub], n_nodes, k, dedup=False)
+    rest_sel = np.flatnonzero(~is_hub).astype(np.int32)
+    hub_sel = np.flatnonzero(is_hub).astype(np.int32)
+    hub_flat = (ru[is_hub] * n_hubs + hub_pos[cu[is_hub]]).astype(np.int32)
+    # per-unique routing tables (out-of-range sentinel on the other half)
+    u2ell = np.full(n_u, rest.n_vrows * k, np.int32)
+    u2ell[rest_sel] = rest.slot
+    u2dense = np.full(n_u, n_nodes * n_hubs, np.int32)
+    u2dense[hub_sel] = hub_flat
+    # per-original routing: duplicates of a pair share its target slot
+    if dup_order is None:  # already in (row, col) order, no duplicates
+        ell_of_edge, dense_of_edge = u2ell, u2dense
+    else:
+        per_sorted = (u2ell, u2dense) if dup_seg is None \
+            else (u2ell[dup_seg], u2dense[dup_seg])
+        ell_of_edge = np.empty(e, np.int32)
+        dense_of_edge = np.empty(e, np.int32)
+        ell_of_edge[dup_order] = per_sorted[0]
+        dense_of_edge[dup_order] = per_sorted[1]
     return HybridLayout(
         rest=rest, dup_order=dup_order, dup_seg=dup_seg, n_unique=n_u,
-        rest_sel=np.flatnonzero(~is_hub).astype(np.int32),
-        hub_sel=np.flatnonzero(is_hub).astype(np.int32),
-        hub_flat=(ru[is_hub] * n_hubs + hub_pos[cu[is_hub]]).astype(np.int32),
-        hub_ids=hub_ids.astype(np.int32), n_hubs=n_hubs, n_nodes=n_nodes)
+        rest_sel=rest_sel, hub_sel=hub_sel, hub_flat=hub_flat,
+        hub_ids=hub_ids.astype(np.int32), n_hubs=n_hubs, n_nodes=n_nodes,
+        ell_slot_of_edge=ell_of_edge, dense_flat_of_edge=dense_of_edge)
 
 
 _HYBRID_CACHE: OrderedDict = OrderedDict()
@@ -421,15 +487,28 @@ def spmm_hybrid(graph: Graph, x: jax.Array,
     for edges sourced at the ``H`` highest-traffic nodes, ELL gather for
     the rest.  Semantically identical to ``spmm_segment`` (duplicates sum,
     live values flow through), differentiable, jit-compatible with traced
-    values."""
+    values.
+
+    Value routing is two scatter-adds straight from original edge order
+    (``ell_slot_of_edge``/``dense_flat_of_edge``; each edge is in range on
+    exactly one of them, the other side drops it via ``mode="drop"``).
+    Duplicate pairs share a slot so the adds coalesce them — no per-edge
+    gathers remain on the hot path (the old
+    gather->segment_sum->gather chain cost more than the SpMM itself at
+    ogbn-arxiv scale)."""
+    if graph.scaled:
+        return _scaled_call(spmm_hybrid, graph, x, k=k)
     layout = _hybrid_layout(graph, k)
     if layout is _NO_HUBS or layout is None:
         return spmm_ell(graph, x, k)
-    val_u = layout.unique_values(graph.val)
-    out = _ell_apply(layout.rest, val_u[layout.rest_sel], x, graph.n_nodes)
+    val = graph.val.astype(x.dtype)
+    rest = layout.rest
+    ell_vals = jnp.zeros((rest.n_vrows * rest.k,), x.dtype)
+    ell_vals = ell_vals.at[layout.ell_slot_of_edge].add(val, mode="drop")
+    out = _ell_compute(rest, ell_vals.reshape(rest.n_vrows, rest.k), x,
+                       graph.n_nodes)
     dense = jnp.zeros((graph.n_nodes * layout.n_hubs,), x.dtype)
-    dense = dense.at[layout.hub_flat].set(
-        val_u[layout.hub_sel].astype(x.dtype), unique_indices=True)
+    dense = dense.at[layout.dense_flat_of_edge].add(val, mode="drop")
     dense = dense.reshape(graph.n_nodes, layout.n_hubs)
     return out + jnp.dot(dense, x[layout.hub_ids],
                          preferred_element_type=x.dtype)
@@ -440,7 +519,21 @@ def _structure_is_concrete(graph: Graph) -> bool:
 
 
 def spmm(graph: Graph, x: jax.Array) -> jax.Array:
-    """Dispatching SpMM entry point used by all propagation layers."""
+    """Dispatching SpMM entry point used by all propagation layers.
+
+    Lazy diagonal scales (``graph.row_scale``/``col_scale``, produced by
+    ``normalize_adjacency``) are applied here as (N, F) row-wise multiplies
+    around the product — ``rs ⊙ (A @ (cs ⊙ x))`` — so no implementation or
+    executor ever pays the two E-sized per-edge scale gathers."""
+    if graph.scaled:
+        rs, cs = graph.row_scale, graph.col_scale
+        base = dataclasses.replace(graph, row_scale=None, col_scale=None)
+        if cs is not None:
+            x = x * cs[:, None].astype(x.dtype)
+        out = spmm(base, x)
+        if rs is not None:
+            out = out * rs[:, None].astype(out.dtype)
+        return out
     executor = _SPMM_EXECUTOR_VAR.get()
     if executor is not None:
         return executor(graph, x)

@@ -355,5 +355,8 @@ class HaloExecutor:
         return plan
 
     def __call__(self, graph: Graph, x: jax.Array) -> jax.Array:
+        if graph.scaled:  # dispatch normally peels scales; direct calls too
+            from ..ops.spmm import _scaled_call
+            return _scaled_call(self, graph, x)
         plan = self.partition_for(graph)
         return halo_spmm(plan, x, self.mesh, graph.val)

@@ -25,6 +25,7 @@ def pad_graph(graph: Graph, multiple: int) -> Graph:
     if target == e:
         return graph
     pad = target - e
+    graph = graph.materialized()  # padding operates on per-edge values
     return Graph(
         row=jnp.concatenate([graph.row, jnp.zeros((pad,), jnp.int32)]),
         col=jnp.concatenate([graph.col, jnp.zeros((pad,), jnp.int32)]),

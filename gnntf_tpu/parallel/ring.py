@@ -217,5 +217,8 @@ class RingExecutor:
         return plan
 
     def __call__(self, graph: Graph, x: jax.Array) -> jax.Array:
+        if graph.scaled:  # dispatch normally peels scales; direct calls too
+            from ..ops.spmm import _scaled_call
+            return _scaled_call(self, graph, x)
         plan = self.partition_for(graph)
         return ring_spmm(plan, x, self.mesh, graph.val)

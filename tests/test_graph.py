@@ -105,6 +105,96 @@ def test_isolated_nodes_divide_no_nan():
     assert np.all(np.isfinite(dense_of(normed)))
 
 
+class TestLazyScaling:
+    """Normalization returns lazy diagonal scales (row_scale/col_scale);
+    every SpMM path must apply them exactly (rs ⊙ (A @ (cs ⊙ x)) ==
+    (diag(rs) A diag(cs)) @ x)."""
+
+    def _graph(self, n=40, seed=3):
+        rng = np.random.RandomState(seed)
+        src, dst = np.nonzero(rng.rand(n, n) < 0.2)
+        return from_edges(src, dst, rng.rand(src.shape[0]), n_nodes=n,
+                          directed=False)
+
+    def test_normalize_is_lazy_and_materialized_matches(self):
+        g = self._graph()
+        normed = normalize_adjacency(g, graph_dropout=0.0)
+        assert normed.scaled and normed.row_scale is not None
+        mat = normed.materialized()
+        assert not mat.scaled
+        # materialized values == eager per-edge scaling
+        deg = np.zeros(g.n_nodes)
+        np.add.at(deg, np.asarray(g.col), np.asarray(g.val))
+        d = np.where(deg > 0, 1 / np.sqrt(np.maximum(deg, 1e-30)), 0.0)
+        expect = np.asarray(g.val) * d[np.asarray(g.row)] \
+            * d[np.asarray(g.col)]
+        np.testing.assert_allclose(np.asarray(mat.val), expect,
+                                   rtol=1e-5, atol=1e-7)
+
+    def test_all_impls_agree_on_scaled_graph(self):
+        import importlib
+        spmm_mod = importlib.import_module("gnntf_tpu.ops.spmm")
+        g = self._graph()
+        normed = normalize_adjacency(g, graph_dropout=0.0)
+        x = jnp.asarray(np.random.RandomState(0).randn(g.n_nodes, 16),
+                        jnp.float32)
+        oracle = np.asarray(normed.to_dense()) @ np.asarray(x)
+        for fn in (spmm_mod.spmm_segment, spmm_mod.spmm_ell,
+                   spmm_mod.spmm_hybrid):
+            np.testing.assert_allclose(np.asarray(fn(normed, x)), oracle,
+                                       rtol=1e-4, atol=1e-5,
+                                       err_msg=fn.__name__)
+
+    def test_scaled_spmm_under_jit_with_dropout(self):
+        """The production shape: per-layer dropout + renormalize + spmm
+        inside jit, lazy scales flowing as tracers."""
+        import jax
+        g = self._graph()
+        x = jnp.asarray(np.random.RandomState(1).randn(g.n_nodes, 8),
+                        jnp.float32)
+
+        @jax.jit
+        def f(x, rng):
+            a = normalize_adjacency(g, graph_dropout=0.5, rng=rng)
+            return spmm(a, x)
+
+        out = np.asarray(f(x, jax.random.PRNGKey(0)))
+        assert np.all(np.isfinite(out))
+        # dropout-off jit path must equal the dense oracle exactly
+        @jax.jit
+        def f0(x):
+            a = normalize_adjacency(g, graph_dropout=0.0)
+            return spmm(a, x)
+
+        a0 = normalize_adjacency(g, graph_dropout=0.0)
+        oracle = np.asarray(a0.to_dense()) @ np.asarray(x)
+        np.testing.assert_allclose(np.asarray(f0(x)), oracle,
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_add_eye_after_materializes(self):
+        g = self._graph(n=12)
+        normed = normalize_adjacency(g, graph_dropout=0.0, add_eye="after")
+        assert not normed.scaled  # eye entries must contribute exactly 1
+        dense = np.asarray(normed.to_dense())
+        base = np.asarray(
+            normalize_adjacency(g, graph_dropout=0.0).to_dense())
+        np.testing.assert_allclose(dense, base + np.eye(g.n_nodes),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_executor_with_scaled_graph(self):
+        """Direct executor calls (halo) on a scaled graph peel the scales."""
+        from gnntf_tpu.parallel import make_mesh
+        from gnntf_tpu.parallel.halo import HaloExecutor
+        g = self._graph(n=48)
+        normed = normalize_adjacency(g, graph_dropout=0.0)
+        x = jnp.asarray(np.random.RandomState(2).randn(g.n_nodes, 8),
+                        jnp.float32)
+        ex = HaloExecutor(make_mesh(8, 1))
+        oracle = np.asarray(normed.to_dense()) @ np.asarray(x)
+        np.testing.assert_allclose(np.asarray(ex(normed, x)), oracle,
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_add_eye_before_and_after():
     g = from_edges([0, 1], [1, 0], n_nodes=2)
     before = normalize_adjacency(g, graph_dropout=0.0, add_eye="before")
