@@ -4,6 +4,8 @@ from .dist import (EDGE_AXIS, FEAT_AXIS, graph_shardings, make_distributed_eval,
 from .partition import pad_graph
 from .halo import (HaloExecutor, HaloPartition, build_halo_partition,
                    halo_spmm)
+from .hier_halo import (HierHaloPartition, build_hier_halo_partition,
+                        hier_halo_spmm)
 from .multihost import (EDGE_HOST_AXIS, launch_distributed, make_pod_mesh,
                         shard_graph_local)
 from .ring import RingPartition, build_ring_partition, ring_spmm

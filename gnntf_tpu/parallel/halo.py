@@ -307,7 +307,11 @@ def halo_spmm(part: HaloPartition, x: jax.Array, mesh: Mesh,
 
 class HaloExecutor:
     """An ``ops.spmm`` executor override (``ops.spmm.set_spmm_executor``)
-    routing every propagation layer's SpMM through :func:`halo_spmm`.
+    routing every propagation layer's SpMM through :func:`halo_spmm` — or,
+    on a hierarchical ``(edge_host, edge[, feat])`` mesh
+    (``multihost.make_pod_mesh(hierarchical=True)``), through the
+    DCN-aware 3-phase exchange (``hier_halo.hier_halo_spmm``), selected
+    automatically from the mesh axis names.
 
     ``fit(mesh=..., spmm="halo")`` installs one around the jitted train and
     eval steps, so the *training* propagation — per-layer edge dropout and
@@ -326,13 +330,20 @@ class HaloExecutor:
     _CACHE_MAX = 16
 
     def __init__(self, mesh: Mesh, n_parts: Optional[int] = None, **build_kw):
+        from .multihost import EDGE_HOST_AXIS
         self.mesh = mesh
-        self.n_parts = int(mesh.shape[EDGE_AXIS]) if n_parts is None \
-            else n_parts
+        self.hierarchical = EDGE_HOST_AXIS in mesh.shape
+        if self.hierarchical:
+            self.n_hosts = int(mesh.shape[EDGE_HOST_AXIS])
+            self.n_chips = int(mesh.shape[EDGE_AXIS])
+            self.n_parts = self.n_hosts * self.n_chips
+        else:
+            self.n_parts = int(mesh.shape[EDGE_AXIS]) if n_parts is None \
+                else n_parts
         self.build_kw = build_kw
         self._plans: OrderedDict = OrderedDict()
 
-    def partition_for(self, graph: Graph) -> HaloPartition:
+    def partition_for(self, graph: Graph):
         key = id(graph.row)
         hit = self._plans.get(key)
         if hit is not None and hit[0] is graph.row:
@@ -348,7 +359,13 @@ class HaloExecutor:
             val=np.ones(graph.n_edges, np.float32), n_nodes=graph.n_nodes,
             num_self_loop=graph.num_self_loop,
             sorted_by_row=graph.sorted_by_row)
-        plan = build_halo_partition(structure, self.n_parts, **self.build_kw)
+        if self.hierarchical:
+            from .hier_halo import build_hier_halo_partition
+            plan = build_hier_halo_partition(structure, self.n_hosts,
+                                             self.n_chips, **self.build_kw)
+        else:
+            plan = build_halo_partition(structure, self.n_parts,
+                                        **self.build_kw)
         self._plans[key] = (graph.row, plan)
         while len(self._plans) > self._CACHE_MAX:
             self._plans.popitem(last=False)
@@ -359,4 +376,7 @@ class HaloExecutor:
             from ..ops.spmm import _scaled_call
             return _scaled_call(self, graph, x)
         plan = self.partition_for(graph)
+        if self.hierarchical:
+            from .hier_halo import hier_halo_spmm
+            return hier_halo_spmm(plan, x, self.mesh, graph.val)
         return halo_spmm(plan, x, self.mesh, graph.val)

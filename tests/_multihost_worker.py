@@ -64,7 +64,20 @@ def main():
         params, opt_state, loss = step(
             params, opt_state, jax.random.PRNGKey(i), jnp.float32(1.0),
             features_rep, sharded, task.batch())
+
+    # hierarchical (DCN-aware) halo training across the 2-process cluster:
+    # the (edge_host=processes, edge=local chips) mesh routes phase 2 of
+    # the 3-phase exchange over the cross-process (gloo "DCN") links.
+    hier_mesh = make_pod_mesh(1, hierarchical=True)
+    model_h = gt.APPNP(graph, features, num_classes=3, iterations=3)
+    model_h.reset(0)
+    hist = model_h.train(train=task, patience=3, epochs=3, seed=0,
+                         init_params=dict(model_h.params), mesh=hier_mesh,
+                         spmm="halo")
+    hier_loss = float(hist["train_loss"][-1])
+
     print(json.dumps({"pid": pid, "loss": float(loss),
+                      "hier_loss": hier_loss,
                       "devices": n_dev}), flush=True)
 
 
