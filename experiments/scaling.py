@@ -31,11 +31,47 @@ from gnntf_tpu.parallel import (build_halo_partition, build_ring_partition,
                                 halo_spmm, make_mesh, ring_spmm, shard_graph)
 from gnntf_tpu.ops.spmm import spmm_segment
 
-args = [int(a) for a in sys.argv[1:]]
+BYTES_MODE = "--bytes" in sys.argv
+args = [int(a) for a in sys.argv[1:] if not a.startswith("--")]
 N = args[0] if len(args) > 0 else 50_000
 E = args[1] if len(args) > 1 else 400_000
 F = args[2] if len(args) > 2 else 64
 K = args[3] if len(args) > 3 else 10
+
+
+def bytes_moved_report(g, F, counts):
+    """Exact per-device communication bytes per SpMM for each executor,
+    computed from the host-built plans (no timing, deterministic).
+
+    GSPMD edge-sharded segment-sum combines (N, F) partial outputs with an
+    all-reduce: ~2(P-1)/P * N * F * 4 bytes/device on a ring.  Halo moves
+    only boundary rows; ring moves every feature block P-1 times; the
+    hierarchical halo splits its traffic into ICI and DCN components."""
+    from gnntf_tpu.parallel import build_hier_halo_partition
+    fb = F * 4
+    print(f"\nper-device bytes moved per SpMM (N={g.n_nodes} E={g.n_edges} "
+          f"F={F}):")
+    print(f"{'P':>3} {'gspmd':>12} {'ring':>12} {'halo (flat)':>12} "
+          f"{'hier ICI':>12} {'hier DCN':>12}")
+    for n in counts:
+        if n < 2:
+            continue
+        gspmd = int(2 * (n - 1) / n * g.n_nodes * fb)
+        part_r = build_ring_partition(g, n)
+        ringb = (n - 1) * part_r.rows_per_part * fb
+        part_h = build_halo_partition(g, n)
+        halob = (part_h.n_parts * part_h.halo_size
+                 + part_h.n_parts * part_h.hub_rows) * fb
+        hier = build_hier_halo_partition(g, 2, n // 2) if n % 2 == 0 else None
+        if hier is not None:
+            ici = (hier.n_chips * (hier.s1 + hier.s3)
+                   + (hier.n_parts - hier.n_chips) * hier.hub_rows) * fb
+            dcn = hier.n_hosts * hier.s2 * fb \
+                + hier.n_chips * hier.hub_rows * fb
+            hier_s = f"{ici:>12,} {dcn:>12,}"
+        else:
+            hier_s = f"{'-':>12} {'-':>12}"
+        print(f"{n:>3} {gspmd:>12,} {ringb:>12,} {halob:>12,} {hier_s}")
 
 src, dst = random_power_law_edges(N, E, seed=0)
 g = from_edges(src, dst, n_nodes=N, directed=False)
@@ -68,6 +104,9 @@ def timed(fn, x):
 
 
 counts = [n for n in (1, 2, 4, 8, 16) if n <= len(devices)]
+if BYTES_MODE:
+    bytes_moved_report(g, F, counts)
+    sys.exit(0)
 base = {}
 for name in ("halo", "ring"):
     for n in counts:

@@ -8,12 +8,6 @@ import jax
 import jax.numpy as jnp
 
 
-def segment_max(data, segment_ids, num_segments, indices_are_sorted=False):
-    return jax.ops.segment_max(
-        data, segment_ids, num_segments=num_segments,
-        indices_are_sorted=indices_are_sorted)
-
-
 def segment_softmax(scores, segment_ids, num_segments, indices_are_sorted=False):
     """Numerically-stable softmax of ``scores`` within each segment.
 
