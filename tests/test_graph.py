@@ -466,3 +466,35 @@ class TestSDDMM:
         want = (sims @ r)[:, 0]
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-5, atol=1e-6)
+
+
+class TestHybridAtScale:
+    """The hybrid SpMM + full train step at >=100K nodes / >=1M edges on
+    CPU: completion + memory sanity (VERDICT r2 #4 — discriminates
+    'remote-compile flake' from 'hybrid hangs at scale' for the r02 bench
+    timeout)."""
+
+    def test_hybrid_train_step_completes_at_scale(self):
+        import gnntf_tpu as gt
+        from gnntf_tpu.data.synthetic import random_power_law_edges
+
+        n_nodes, n_edges = 100_000, 600_000  # symmetrized: 1.2M edges
+        src, dst = random_power_law_edges(n_nodes, n_edges, seed=0)
+        g = from_edges(src, dst, n_nodes=n_nodes, directed=False)
+        assert g.n_edges >= 1_000_000
+        rng = np.random.RandomState(0)
+        x = rng.randn(n_nodes, 32).astype(np.float32)
+        model = gt.APPNP(g, x, num_classes=8, iterations=3)
+        tr = rng.choice(n_nodes, 5_000, replace=False)
+        labels = rng.randint(0, 8, 5_000)
+        hist = model.train(
+            train=gt.NodeClassification(tr, labels),
+            patience=2, epochs=2, seed=0)
+        assert np.isfinite(hist["train_loss"][-1])
+        # the auto dispatcher must actually have taken the hybrid path
+        import importlib
+        spmm_mod = importlib.import_module("gnntf_tpu.ops.spmm")
+        layout = spmm_mod._hybrid_layout(g, spmm_mod._ELL_DEFAULT_K)
+        assert layout is not spmm_mod._NO_HUBS and layout is not None
+        # memory sanity: dense slice within the configured cap
+        assert n_nodes * layout.n_hubs * 4 <= spmm_mod._HUB_MEM_CAP
