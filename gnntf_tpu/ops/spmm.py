@@ -129,6 +129,20 @@ def set_spmm_impl(name: str) -> None:
     _SPMM_IMPL_DEFAULT = name
 
 
+def _no_fold(val) -> jax.Array:
+    """Shield a concrete (trace-constant) per-edge value array from XLA
+    constant folding.  With dropout off the edge values close over the jit
+    as constants; XLA then folds E-sized scatter/segment chains *at
+    compile time* — measured minutes per fold at 2.3M edges through the
+    remote-compile service ("Constant folding an instruction is taking
+    > 1s", the second root cause of the r02/r03 bench timeouts).  An
+    optimization barrier keeps the op on the device (where it costs
+    milliseconds) with zero runtime overhead for traced values."""
+    if isinstance(val, jax.core.Tracer):
+        return val
+    return jax.lax.optimization_barrier(jnp.asarray(val))
+
+
 def _scaled_call(fn, graph: Graph, x: jax.Array, **kw) -> jax.Array:
     """Apply a lazily-scaled graph's diagonal scales as (N, F) row-wise
     multiplies around ``fn`` on the unscaled base graph (see ``spmm``)."""
@@ -534,6 +548,8 @@ def spmm(graph: Graph, x: jax.Array) -> jax.Array:
         if rs is not None:
             out = out * rs[:, None].astype(out.dtype)
         return out
+    if not isinstance(graph.val, jax.core.Tracer):
+        graph = dataclasses.replace(graph, val=_no_fold(graph.val))
     executor = _SPMM_EXECUTOR_VAR.get()
     if executor is not None:
         return executor(graph, x)
