@@ -47,15 +47,19 @@ K = args[3] if len(args) > 3 else 50
 
 src, dst = random_power_law_edges(N, E, seed=0)
 g = from_edges(src, dst, n_nodes=N, directed=False)
+import dataclasses
+from gnntf_tpu.ops import prepare_spmm
 normed = jax.jit(lambda g: normalize_adjacency(g, graph_dropout=0.0))(g)
+normed = dataclasses.replace(normed, row=g.row, col=g.col)
+prepared = prepare_spmm(normed)
 x = jnp.asarray(np.random.RandomState(1).randn(N, F), jnp.float32)
 
 
-# graph closed over (trace constant) so the auto dispatcher can pick ELL;
-# chained timed calls feed the previous output back in (see bench.py)
+# value routing prepared eagerly outside jit (fixed adjacency — the
+# inference shape); chained timed calls feed the previous output back in
 @partial(jax.jit, static_argnums=1)
 def chain(h, k):
-    return jax.lax.fori_loop(0, k, lambda i, h: spmm(normed, h), h)
+    return jax.lax.fori_loop(0, k, lambda i, h: prepared(h), h)
 
 
 h = chain(x, K)

@@ -1,4 +1,5 @@
 from .dropout import dropout
 from .normalize import edge_dropout, normalize_adjacency
 from .segment import segment_softmax
-from .spmm import edge_dot, sddmm, set_spmm_impl, spmm, spmm_segment
+from .spmm import (edge_dot, prepare_spmm, sddmm, set_spmm_impl, spmm,
+                   spmm_segment)

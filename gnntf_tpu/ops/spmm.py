@@ -532,6 +532,80 @@ def _structure_is_concrete(graph: Graph) -> bool:
     return not isinstance(graph.row, jax.core.Tracer)
 
 
+class PreparedSpMM:
+    """Value-routing done once, eagerly, outside jit: the per-call work is
+    pure gather / k-reduce / MXU matmul / sorted combine.
+
+    For a *fixed* normalized adjacency (inference, the propagation
+    benchmark, repeated evaluation) the value scatter, duplicate
+    coalescing and degree scaling are loop-invariant.  Leaving them
+    inside the jitted program either makes XLA constant-fold E-sized
+    chains at compile time (minutes at 2.3M edges through the
+    remote-compile service) or — when shielded with an optimization
+    barrier — re-executes them every call.  Preparing eagerly sidesteps
+    both: build once per (graph, values), then ``prepared(x)`` from any
+    jit.
+
+    ``prepare_spmm(graph)`` accepts a lazily-scaled graph (from
+    ``normalize_adjacency``); scales fold into the prepared state as
+    (N,)-vector multiplies around the product.
+    """
+
+    def __init__(self, graph: Graph, k: int = _ELL_DEFAULT_K):
+        if not _structure_is_concrete(graph):
+            raise TypeError("prepare_spmm needs concrete graph structure")
+        if isinstance(graph.val, jax.core.Tracer):
+            raise TypeError("prepare_spmm needs concrete edge values; for "
+                            "traced values (dropout) call spmm() directly")
+        self.n_nodes = graph.n_nodes
+        self.row_scale = graph.row_scale
+        self.col_scale = graph.col_scale
+        base = dataclasses.replace(graph, row_scale=None, col_scale=None)
+        val = jnp.asarray(base.val)
+        layout = _hybrid_layout(base, k)
+        if layout is _NO_HUBS or layout is None:
+            ell = _ell_layout(base, k)
+            self.hybrid = None
+            self.ell = ell
+            unique = ell.dup_order is None
+            vals = jnp.zeros((ell.n_vrows * ell.k,), val.dtype)
+            self.ell_vals = vals.at[ell.edge_slot].add(
+                val, indices_are_sorted=unique and base.sorted_by_row,
+                unique_indices=unique).reshape(ell.n_vrows, ell.k)
+            self.dense = None
+            self.hub_ids = None
+        else:
+            self.hybrid = layout
+            self.ell = layout.rest
+            vals = jnp.zeros((layout.rest.n_vrows * layout.rest.k,),
+                             val.dtype)
+            self.ell_vals = vals.at[layout.ell_slot_of_edge].add(
+                val, mode="drop").reshape(layout.rest.n_vrows,
+                                          layout.rest.k)
+            dense = jnp.zeros((graph.n_nodes * layout.n_hubs,), val.dtype)
+            self.dense = dense.at[layout.dense_flat_of_edge].add(
+                val, mode="drop").reshape(graph.n_nodes, layout.n_hubs)
+            self.hub_ids = jnp.asarray(layout.hub_ids)
+        jax.block_until_ready(self.ell_vals)
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        if self.col_scale is not None:
+            x = x * self.col_scale[:, None].astype(x.dtype)
+        out = _ell_compute(self.ell, self.ell_vals.astype(x.dtype), x,
+                           self.n_nodes)
+        if self.dense is not None:
+            out = out + jnp.dot(self.dense.astype(x.dtype), x[self.hub_ids],
+                                preferred_element_type=x.dtype)
+        if self.row_scale is not None:
+            out = out * self.row_scale[:, None].astype(out.dtype)
+        return out
+
+
+def prepare_spmm(graph: Graph, k: int = _ELL_DEFAULT_K) -> PreparedSpMM:
+    """Build a :class:`PreparedSpMM` for a fixed (concrete-valued) graph."""
+    return PreparedSpMM(graph, k)
+
+
 def spmm(graph: Graph, x: jax.Array) -> jax.Array:
     """Dispatching SpMM entry point used by all propagation layers.
 

@@ -498,3 +498,53 @@ class TestHybridAtScale:
         assert layout is not spmm_mod._NO_HUBS and layout is not None
         # memory sanity: dense slice within the configured cap
         assert n_nodes * layout.n_hubs * 4 <= spmm_mod._HUB_MEM_CAP
+
+
+class TestPreparedSpMM:
+    """prepare_spmm: eager value routing, jit-callable pure compute."""
+
+    def _graph(self, n=60, seed=9):
+        rng = np.random.RandomState(seed)
+        src, dst = np.nonzero(rng.rand(n, n) < 0.15)
+        return from_edges(src, dst, rng.rand(src.shape[0]), n_nodes=n,
+                          directed=False)
+
+    def test_matches_oracle_raw_and_normalized(self):
+        from gnntf_tpu.ops import prepare_spmm
+        g = self._graph()
+        x = jnp.asarray(np.random.RandomState(0).randn(g.n_nodes, 8),
+                        jnp.float32)
+        for graph in (g, normalize_adjacency(g, graph_dropout=0.0)):
+            prepared = prepare_spmm(graph)
+            oracle = np.asarray(graph.to_dense()) @ np.asarray(x)
+            np.testing.assert_allclose(np.asarray(prepared(x)), oracle,
+                                       rtol=1e-4, atol=1e-5)
+            under_jit = jax.jit(lambda v: prepared(v))(x)
+            np.testing.assert_allclose(np.asarray(under_jit), oracle,
+                                       rtol=1e-4, atol=1e-5)
+
+    def test_rejects_traced_values(self):
+        from gnntf_tpu.ops import prepare_spmm
+        g = self._graph()
+
+        def f(val):
+            import dataclasses
+            prepare_spmm(dataclasses.replace(g, val=val))
+
+        with pytest.raises(TypeError, match="concrete edge values"):
+            jax.jit(f)(g.val)
+
+    def test_hybrid_and_ell_paths(self):
+        """Small graph declines hubs (ELL path); a hub-heavy graph takes
+        the hybrid path — both must agree with the oracle."""
+        from gnntf_tpu.ops import prepare_spmm
+        rng = np.random.RandomState(1)
+        n, e = 200, 3000
+        src = rng.randint(0, n, e)
+        dst = np.where(rng.rand(e) < 0.5, 3, rng.randint(0, n, e))
+        g = from_edges(src, dst, n_nodes=n, directed=False)
+        prepared = prepare_spmm(g)
+        x = jnp.asarray(rng.randn(n, 8), jnp.float32)
+        oracle = np.asarray(g.to_dense()) @ np.asarray(x)
+        np.testing.assert_allclose(np.asarray(prepared(x)), oracle,
+                                   rtol=1e-4, atol=1e-4)
