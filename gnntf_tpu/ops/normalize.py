@@ -77,13 +77,6 @@ def normalize_adjacency(
         # but it must stay correct)
         graph = graph.materialized()
     graph = edge_dropout(graph, graph_dropout, rng)
-    if not isinstance(graph.val, jax.core.Tracer):
-        # dropout-off path: the edge values are trace constants — shield
-        # them from XLA constant folding, which otherwise folds the E-sized
-        # degree/scatter chains at compile time (minutes at 2.3M edges
-        # through the remote-compile service; see ops.spmm._no_fold)
-        from .spmm import _no_fold
-        graph = dataclasses.replace(graph, val=_no_fold(graph.val))
     if add_eye == "before":
         graph = add_self_loops(graph)
     if normalized == "symmetric":

@@ -130,14 +130,19 @@ def set_spmm_impl(name: str) -> None:
 
 
 def _no_fold(val) -> jax.Array:
-    """Shield a concrete (trace-constant) per-edge value array from XLA
-    constant folding.  With dropout off the edge values close over the jit
-    as constants; XLA then folds E-sized scatter/segment chains *at
-    compile time* — measured minutes per fold at 2.3M edges through the
-    remote-compile service ("Constant folding an instruction is taking
-    > 1s", the second root cause of the r02/r03 bench timeouts).  An
-    optimization barrier keeps the op on the device (where it costs
-    milliseconds) with zero runtime overhead for traced values."""
+    """Shield a concrete (trace-constant) array from XLA constant folding
+    via ``lax.optimization_barrier`` (identity for traced values).
+
+    Trade-off, measured at bench scale (2.3M edges): with dropout off the
+    edge values close over the jit as constants and XLA folds the E-sized
+    scatter/segment chains at *compile* time ("Constant folding an
+    instruction is taking > 1s" — minutes of compile through the
+    remote-compile service) but the folded program then runs the routing
+    for free at runtime; a barrier flips that (fast compile, but the
+    barrier also blocks loop-invariant hoisting, so the routing re-runs
+    every iteration — 9x slower propagation, 2.8x slower train epoch).
+    The framework therefore does NOT barrier by default; fixed-adjacency
+    callers use :class:`PreparedSpMM`, which sidesteps both costs."""
     if isinstance(val, jax.core.Tracer):
         return val
     return jax.lax.optimization_barrier(jnp.asarray(val))
@@ -622,8 +627,6 @@ def spmm(graph: Graph, x: jax.Array) -> jax.Array:
         if rs is not None:
             out = out * rs[:, None].astype(out.dtype)
         return out
-    if not isinstance(graph.val, jax.core.Tracer):
-        graph = dataclasses.replace(graph, val=_no_fold(graph.val))
     executor = _SPMM_EXECUTOR_VAR.get()
     if executor is not None:
         return executor(graph, x)
