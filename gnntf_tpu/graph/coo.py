@@ -49,6 +49,17 @@ class Graph:
     ``D ⊙ (A @ (D ⊙ x)) == (D A D) @ x`` exactly, up to float
     reassociation.  ``None`` means identity.  Use :meth:`materialized` when
     per-edge values are genuinely needed.
+
+    **Lazy counter-based edge dropout** (``drop_salt``/``drop_keep``/
+    ``drop_n``): when ``drop_salt`` is set, the effective edge values are
+    ``val[e] * mask(e)/drop_keep`` for ``e < drop_n`` (``mask(e)`` a pure
+    hash of the edge id and the salts — ops/stochastic.py) and ``val[e]``
+    unchanged for trailing self-loop entries.  Keeping the draw symbolic
+    lets every SpMM layout recompute the identical realized mask from its
+    own constant edge-id grids, removing all per-layer E-sized
+    gather/scatter traffic from the training path.  Applied *before* the
+    lazy scales (dropout happens before renormalization, reference
+    gnn.py:36-47).
     """
 
     row: jax.Array            # [E] int32 destination ids
@@ -59,6 +70,9 @@ class Graph:
     sorted_by_row: bool = dataclasses.field(default=False, metadata=dict(static=True))
     row_scale: Optional[jax.Array] = None   # [N] or None (identity)
     col_scale: Optional[jax.Array] = None   # [N] or None (identity)
+    drop_salt: Optional[jax.Array] = None   # (2,) uint32 or None (no dropout)
+    drop_keep: float = dataclasses.field(default=1.0, metadata=dict(static=True))
+    drop_n: int = dataclasses.field(default=0, metadata=dict(static=True))
 
     @property
     def n_edges(self) -> int:
@@ -72,10 +86,26 @@ class Graph:
     def scaled(self) -> bool:
         return self.row_scale is not None or self.col_scale is not None
 
+    @property
+    def dropped(self) -> bool:
+        return self.drop_salt is not None
+
+    def materialized_dropout(self) -> "Graph":
+        """Fold the lazy edge-dropout into per-edge values (elementwise on
+        the edge list — the exact realization every grid computes; scales
+        are left lazy)."""
+        if not self.dropped:
+            return self
+        from ..ops.stochastic import materialize_dropped
+        return dataclasses.replace(self, val=materialize_dropped(self),
+                                   drop_salt=None, drop_keep=1.0, drop_n=0)
+
     def materialized(self) -> "Graph":
-        """Fold the lazy diagonal scales into per-edge values (two E-sized
-        gathers — the cost the lazy representation exists to avoid; call
-        only where per-edge values are required)."""
+        """Fold the lazy dropout and diagonal scales into per-edge values
+        (the scale fold costs two E-sized gathers — the cost the lazy
+        representation exists to avoid; call only where per-edge values
+        are required)."""
+        self = self.materialized_dropout()
         if not self.scaled:
             return self
         val = self.val

@@ -58,8 +58,8 @@ class FastReg(Layer):
             jnp.dot(x, fw.param(self.W), preferred_element_type=x.dtype))
         propagated = spmm(adj, feats)
         diffs = feats - propagated
-        deg = jax.ops.segment_sum(adj.val, adj.col,
-                                  num_segments=adj.n_nodes)
+        from ..ops.normalize import _degree
+        deg = _degree(adj)  # dropped-adjacency aware (ops/stochastic.py)
         lam = jnp.sum(diffs * diffs) / jnp.sum(
             deg[:, None] * feats * feats)
         fw.add_loss(-lam)

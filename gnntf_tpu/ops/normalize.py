@@ -41,16 +41,45 @@ from .dropout import dropout
 
 
 def _degree(graph: Graph) -> jax.Array:
-    """Column sums: deg[j] = sum_i A[i, j] (tf.sparse.reduce_sum axis=0)."""
+    """Column sums: deg[j] = sum_i A[i, j] (tf.sparse.reduce_sum axis=0).
+
+    For a lazily-dropped graph the sum runs over the column-split grid
+    (dense k-reduce + sorted combine) instead of an unsorted E-sized
+    ``segment_sum`` — measured ~18 ms per layer per step at 2.3M edges,
+    the single most expensive op of the naive training forward."""
+    if graph.dropped:
+        from .stochastic import stochastic_degree
+        return stochastic_degree(graph, by="col")
     return jax.ops.segment_sum(graph.val, graph.col, num_segments=graph.n_nodes)
+
+
+def _degree_row(graph: Graph) -> jax.Array:
+    """Row sums (the 'row' normalization mode)."""
+    if graph.dropped:
+        from .stochastic import stochastic_degree
+        return stochastic_degree(graph, by="row")
+    return jax.ops.segment_sum(graph.val, graph.row,
+                               num_segments=graph.n_nodes)
 
 
 def edge_dropout(graph: Graph, rate: float, rng: Optional[jax.Array]) -> Graph:
     """Dropout on edge values; synthetic self-loop entries are never dropped
-    (they are appended only after dropout in the reference flow)."""
+    (they are appended only after dropout in the reference flow).
+
+    Above ``stochastic.MIN_EDGES`` (concrete structure and values) the
+    draw is kept *lazy*: the graph carries two salts and every consumer
+    recomputes the identical counter-based mask from constant edge ids —
+    see ops/stochastic.py for why (removes all per-layer E-sized
+    gather/scatter traffic).  Small or traced graphs keep the eager
+    ``jax.random.bernoulli`` draw."""
     if rate == 0.0 or rng is None:
         return graph
     n_drop = graph.n_edges - graph.num_self_loop
+    from .stochastic import grids_eligible, salts_from_key
+    if grids_eligible(graph) and not graph.dropped:
+        return dataclasses.replace(graph, drop_salt=salts_from_key(rng),
+                                   drop_keep=1.0 - rate, drop_n=n_drop)
+    graph = graph.materialized_dropout()  # stacking draws: realize the first
     base = dropout(rng, graph.val[:n_drop], rate)
     val = base if graph.num_self_loop == 0 else jnp.concatenate(
         [base, graph.val[n_drop:]])
@@ -94,8 +123,7 @@ def normalize_adjacency(
         # the exact neighbor mean for *any* graph, directed or not.  No
         # reference counterpart (its 'bipartite' divides by colsums, which
         # equals the destination mean only on symmetrized graphs).
-        deg = jax.ops.segment_sum(graph.val, graph.row,
-                                  num_segments=graph.n_nodes)
+        deg = _degree_row(graph)
         d = jnp.where(deg != 0, 1.0 / jnp.where(deg == 0, 1.0, deg), 0.0)
         d = d.astype(graph.val.dtype)
         graph = dataclasses.replace(graph, row_scale=d)

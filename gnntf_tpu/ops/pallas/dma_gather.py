@@ -129,6 +129,7 @@ def spmm_dma_gather(graph, x, *, k: int = 8, VB: int = 256,
                             interpret=interpret)
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
+    graph = graph.materialized_dropout()
     layout = _ell_layout(graph, k)
     v = layout.n_vrows
     v_pad = -(-v // VB) * VB

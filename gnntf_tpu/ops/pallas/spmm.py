@@ -203,6 +203,7 @@ def spmm_pallas(graph: Graph, x: jax.Array, *, interpret: bool | None = None,
                             block_edges=block_edges)
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
+    graph = graph.materialized_dropout()
     blocked = _blocked_layout(graph, window, tile, block_edges)
     fn = _pallas_vjp_fn(blocked, graph.row, graph.col, graph.n_nodes,
                         interpret, bf16)

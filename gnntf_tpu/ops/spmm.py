@@ -165,6 +165,7 @@ def spmm_segment(graph: Graph, x: jax.Array) -> jax.Array:
     """out[i, :] = sum_e{row[e]=i} val[e] * x[col[e], :]  (out = A @ X)."""
     if graph.scaled:
         return _scaled_call(spmm_segment, graph, x)
+    graph = graph.materialized_dropout()
     gathered = x[graph.col] * graph.val[:, None].astype(x.dtype)
     return jax.ops.segment_sum(
         gathered,
@@ -364,6 +365,7 @@ def spmm_ell(graph: Graph, x: jax.Array, k: int = _ELL_DEFAULT_K) -> jax.Array:
     ``val[dup_order]`` gather on the hot path."""
     if graph.scaled:
         return _scaled_call(spmm_ell, graph, x, k=k)
+    graph = graph.materialized_dropout()
     layout = _ell_layout(graph, k)
     v_total = layout.n_vrows
     unique = layout.dup_order is None
@@ -517,6 +519,7 @@ def spmm_hybrid(graph: Graph, x: jax.Array,
     ogbn-arxiv scale)."""
     if graph.scaled:
         return _scaled_call(spmm_hybrid, graph, x, k=k)
+    graph = graph.materialized_dropout()
     layout = _hybrid_layout(graph, k)
     if layout is _NO_HUBS or layout is None:
         return spmm_ell(graph, x, k)
@@ -559,6 +562,10 @@ class PreparedSpMM:
     def __init__(self, graph: Graph, k: int = _ELL_DEFAULT_K):
         if not _structure_is_concrete(graph):
             raise TypeError("prepare_spmm needs concrete graph structure")
+        if graph.dropped:
+            raise TypeError("prepare_spmm is for fixed adjacencies; a "
+                            "lazily-dropped graph resamples per call — use "
+                            "spmm() directly")
         if isinstance(graph.val, jax.core.Tracer):
             raise TypeError("prepare_spmm needs concrete edge values; for "
                             "traced values (dropout) call spmm() directly")
@@ -629,8 +636,20 @@ def spmm(graph: Graph, x: jax.Array) -> jax.Array:
         return out
     executor = _SPMM_EXECUTOR_VAR.get()
     if executor is not None:
-        return executor(graph, x)
+        # distributed executors consume per-edge values; realize the draw
+        # (identical mask — same hash of the same edge ids)
+        return executor(graph.materialized_dropout(), x)
     impl = _SPMM_IMPL_VAR.get() or _SPMM_IMPL_DEFAULT
+    if graph.dropped:
+        from .stochastic import grids_eligible, stochastic_spmm
+        if impl in ("auto", "hybrid", "ell") and grids_eligible(graph):
+            # training hot path: masked value grids + gather-only custom
+            # VJP (ops/stochastic.py) — hub densification doesn't apply
+            # (randomizing the dense slice costs a per-layer scatter or
+            # per-cell sampling, both measured slower than the extra
+            # gather issue)
+            return stochastic_spmm(graph, x)
+        return spmm(graph.materialized_dropout(), x)
     if impl == "auto":
         impl = ("hybrid" if graph.n_edges >= _ELL_MIN_EDGES
                 and _structure_is_concrete(graph) else "segment")
