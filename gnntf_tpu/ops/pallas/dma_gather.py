@@ -100,7 +100,7 @@ def dma_gather_ell(idx_flat: jax.Array, vals_flat: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((VB * k,), lambda b: (b,),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # xp stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # xp stays in HBM
         ],
         out_specs=pl.BlockSpec((VB, F), lambda b: (b, 0),
                                memory_space=pltpu.VMEM),

@@ -89,10 +89,7 @@ def keep_mask(eids: jax.Array, salt: jax.Array, keep: float,
     its mask is irrelevant but harmless)."""
     h = _fmix32(_fmix32(eids ^ salt[0]) ^ salt[1])
     thresh = jnp.uint32(min(int(round(keep * (1 << 24))), (1 << 24)))
-    kept = (h >> jnp.uint32(8)) < thresh
-    if n_drop < (1 << 32) - 1:
-        kept = kept | (eids >= jnp.uint32(n_drop))
-    return kept
+    return ((h >> jnp.uint32(8)) < thresh) | (eids >= jnp.uint32(n_drop))
 
 
 def dropped_values(val: jax.Array, eids: jax.Array, salt: jax.Array,

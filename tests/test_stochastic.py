@@ -66,6 +66,35 @@ def test_mask_statistics(big_graph):
     assert abs(np.corrcoef(a, c)[0, 1]) < 0.02
 
 
+def test_mask_hash_quality():
+    """The counter-based mask must behave like iid Bernoulli draws over
+    sequential edge ids: uniform across id-range buckets (no positional
+    structure) and independent across layer salts (adjacent fold_in keys,
+    the exact pattern Forward.next_rng produces)."""
+    n = 1 << 16
+    eids = jnp.arange(n, dtype=jnp.uint32)
+    base = jax.random.PRNGKey(42)
+    keys = [jax.random.fold_in(base, i) for i in range(6)]
+    masks = np.stack([
+        np.asarray(stochastic.keep_mask(eids, stochastic.salts_from_key(k),
+                                        0.5, n))
+        for k in keys])
+    # per-layer keep rate
+    rates = masks.mean(axis=1)
+    assert (np.abs(rates - 0.5) < 0.01).all(), rates
+    # uniformity across 64 sequential-id buckets (chi-square ~ N(63, 126))
+    for m in masks:
+        kept = m.reshape(64, -1).sum(axis=1)
+        expect = m.mean() * (n // 64)
+        chi2 = float(((kept - expect) ** 2 / expect).sum() * 2)
+        assert chi2 < 63 + 6 * np.sqrt(126), chi2
+    # pairwise independence across layers: P(keep_i & keep_j) ~ 0.25
+    for i in range(len(keys)):
+        for j in range(i + 1, len(keys)):
+            joint = (masks[i] & masks[j]).mean()
+            assert abs(joint - rates[i] * rates[j]) < 0.01, (i, j, joint)
+
+
 def test_self_loops_never_dropped(big_graph):
     withloops = add_self_loops(big_graph)
     lazy = edge_dropout(withloops, 0.9, jax.random.PRNGKey(4))
