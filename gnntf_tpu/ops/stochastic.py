@@ -115,20 +115,25 @@ def materialize_dropped(graph: Graph) -> jax.Array:
 @dataclasses.dataclass
 class TrainGrids:
     """Host-built per-original-edge row/column ELL grids for one graph
-    structure + base values.  All arrays are device constants; per-layer
-    work on them is elementwise."""
+    structure + base values.
+
+    Leaves are **numpy on purpose** (the ELLLayout convention,
+    ops/spmm.py): the grids may be built lazily inside a jit trace, where
+    ``jnp.asarray`` would lift them into tracers that poison this
+    host-side cache for every *later* trace.  As numpy they enter each
+    program as trace-safe constants."""
 
     n_nodes: int
     # row-split (A @ x): gather sources, combine into destination rows
-    r_idx: jax.Array    # (Vr, k) int32 source ids (pad -> n_nodes)
-    r_vrow: jax.Array   # (Vr,)  int32 destination row per virtual row
-    r_val: jax.Array    # (Vr, k) base values (pad -> 0)
-    r_eid: jax.Array    # (Vr, k) uint32 edge ids (pad -> 0; val 0 anyway)
+    r_idx: np.ndarray    # (Vr, k) int32 source ids (pad -> n_nodes)
+    r_vrow: np.ndarray   # (Vr,)  int32 destination row per virtual row
+    r_val: np.ndarray    # (Vr, k) base values (pad -> 0)
+    r_eid: np.ndarray    # (Vr, k) uint32 edge ids (pad -> 0; val 0 anyway)
     # column-split (A^T @ g, colsums): same shapes over the transpose
-    c_idx: jax.Array
-    c_vrow: jax.Array   # destination *column* per virtual column
-    c_val: jax.Array
-    c_eid: jax.Array
+    c_idx: np.ndarray
+    c_vrow: np.ndarray   # destination *column* per virtual column
+    c_val: np.ndarray
+    c_eid: np.ndarray
 
     def __post_init__(self):
         self._core = None
@@ -189,12 +194,12 @@ def build_train_grids(row: np.ndarray, col: np.ndarray, val,
     cl = build_ell(col, row, n_nodes, k, dedup=False)
     return TrainGrids(
         n_nodes=n_nodes,
-        r_idx=jnp.asarray(rl.idx), r_vrow=jnp.asarray(rl.vrow_row),
-        r_val=jnp.asarray(_route(rl, val, val.dtype.type(0))),
-        r_eid=jnp.asarray(_route(rl, eids, np.uint32(0))),
-        c_idx=jnp.asarray(cl.idx), c_vrow=jnp.asarray(cl.vrow_row),
-        c_val=jnp.asarray(_route(cl, val, val.dtype.type(0))),
-        c_eid=jnp.asarray(_route(cl, eids, np.uint32(0))),
+        r_idx=rl.idx, r_vrow=rl.vrow_row,
+        r_val=_route(rl, val, val.dtype.type(0)),
+        r_eid=_route(rl, eids, np.uint32(0)),
+        c_idx=cl.idx, c_vrow=cl.vrow_row,
+        c_val=_route(cl, val, val.dtype.type(0)),
+        c_eid=_route(cl, eids, np.uint32(0)),
     )
 
 

@@ -188,6 +188,32 @@ def test_training_step_equivalence(big_graph):
                                    rtol=5e-3, atol=1e-5)
 
 
+def test_grids_built_inside_jit_stay_trace_safe(big_graph):
+    """Regression: grids are built lazily on first use, which may happen
+    INSIDE a jit trace.  A second, different jit must be able to reuse the
+    cached grids (numpy leaves — tracer-polluted caches raise
+    UnexpectedTracerError here)."""
+    stochastic._GRIDS_CACHE.clear()
+    x = jnp.asarray(np.random.RandomState(20).randn(big_graph.n_nodes, 4),
+                    jnp.float32)
+    key = jax.random.PRNGKey(21)
+
+    @jax.jit
+    def first(x):  # builds the grids mid-trace
+        adj = normalize_adjacency(big_graph, graph_dropout=0.5, rng=key)
+        return spmm(adj, x)
+
+    @jax.jit
+    def second(x):  # must reuse them from the cache
+        adj = normalize_adjacency(big_graph, graph_dropout=0.5, rng=key)
+        return jax.grad(lambda x: jnp.sum(spmm(adj, x) ** 2))(x)
+
+    a = first(x)
+    g = second(x)
+    assert np.isfinite(np.asarray(a)).all()
+    assert np.isfinite(np.asarray(g)).all()
+
+
 def test_prepare_rejects_dropped(big_graph):
     lazy = edge_dropout(big_graph, 0.5, jax.random.PRNGKey(13))
     with pytest.raises(TypeError):
