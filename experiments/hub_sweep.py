@@ -42,10 +42,12 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     import dataclasses
+    import importlib
     from gnntf_tpu.data.synthetic import random_power_law_edges
     from gnntf_tpu.graph import from_edges
     from gnntf_tpu.ops import normalize_adjacency
-    from gnntf_tpu.ops import spmm as spmm_mod
+    # ops/__init__ re-exports the spmm *function*; grab the module itself
+    spmm_mod = importlib.import_module("gnntf_tpu.ops.spmm")
 
     src, dst = random_power_law_edges(N_NODES, N_EDGES, seed=0)
     graph = from_edges(src, dst, n_nodes=N_NODES, directed=False)
