@@ -415,7 +415,10 @@ class HybridLayout:
         return val
 
 
-_HUB_COUNT = 128
+_HUB_COUNT = 256  # measured optimum at bench scale (experiments/hub_sweep.py:
+# 394.5 / 407.7 / 425.6 M edges/s at H=64/128/256; H=512's 347MB dense
+# slice exceeds the remote-compile payload limit and the marginal coverage
+# is ~0.4% — see documentation/performance.md)
 _HUB_MIN_COVERAGE = 0.15       # below this the dense slice isn't worth it
 _HUB_MEM_CAP = 512 * 1024 ** 2  # max bytes for the dense (N, H) f32 slice
 
