@@ -87,6 +87,15 @@ def keep_mask(eids: jax.Array, salt: jax.Array, keep: float,
     are appended self-loop entries (the reference adds the eye after
     dropout, gnn.py:37-39) and layout padding (which carries value 0, so
     its mask is irrelevant but harmless)."""
+    # BOTH salts must pass through a full fmix round.  Injecting s1
+    # affinely after the avalanche (xor, or xor+odd-multiply) leaves
+    # threshold events correlated between structured keys — raw
+    # PRNGKey(i) key data is (0, i), and e.g. `fmix(e^s0)^s1` gives
+    # IDENTICAL masks for adjacent keys (the differing low bits shift out
+    # of the compared window), while `(fmix(e^s0)^s1)*C` still correlates
+    # at |r|≈0.5 (an affine shift of a uniform value against a fixed
+    # threshold).  Measured in test_mask_hash_quality's structured-key
+    # gate; the second round costs ~1 ms per 2.3M-slot grid.
     h = _fmix32(_fmix32(eids ^ salt[0]) ^ salt[1])
     thresh = jnp.uint32(min(int(round(keep * (1 << 24))), (1 << 24)))
     return ((h >> jnp.uint32(8)) < thresh) | (eids >= jnp.uint32(n_drop))

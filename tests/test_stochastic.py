@@ -95,6 +95,28 @@ def test_mask_hash_quality():
             assert abs(joint - rates[i] * rates[j]) < 0.01, (i, j, joint)
 
 
+def test_mask_hash_structured_keys():
+    """Adjacent raw PRNGKeys have key data (0, i) — salts differing in a
+    couple of LOW bits.  Single-round hash finishers fail exactly here
+    (`fmix(e^s0)^s1`: identical masks for adjacent keys; `(..)*C`:
+    |corr|~0.5 — see keep_mask's comment), so this gate pins the
+    requirement that both salts pass through a full avalanche round."""
+    n = 1 << 16
+    eids = jnp.arange(n, dtype=jnp.uint32)
+
+    def mask_of(key):
+        return np.asarray(stochastic.keep_mask(
+            eids, stochastic.salts_from_key(key), 0.5, n))
+
+    pairs = [(jax.random.PRNGKey(2), jax.random.PRNGKey(3)),
+             (jax.random.PRNGKey(0), jax.random.PRNGKey(1)),
+             (jax.random.PRNGKey(7), jax.random.fold_in(
+                 jax.random.PRNGKey(7), 0))]
+    for ka, kb in pairs:
+        a, b = mask_of(ka), mask_of(kb)
+        assert abs(np.corrcoef(a, b)[0, 1]) < 0.02
+
+
 def test_self_loops_never_dropped(big_graph):
     withloops = add_self_loops(big_graph)
     lazy = edge_dropout(withloops, 0.9, jax.random.PRNGKey(4))
