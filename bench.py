@@ -125,7 +125,14 @@ def bench_jax(src, dst):
             return (1.0 - ALPHA) * prepared(h) + ALPHA * h0
         return jax.lax.fori_loop(0, k, body, h0)
 
-    _ = float(jnp.sum(propagate(x0, ITERATIONS)))  # compile+warm
+    # Timed chain length: long enough that the per-call fixed cost (jit
+    # dispatch + device->host fetch through the remote tunnel, measured
+    # ~30 ms — a development-environment artifact, not kernel cost)
+    # amortizes to <2%: at 3.7 ms/SpMM, 50 iterations are ~185 ms of real
+    # kernel time per fetch.  Cross-checked against the K=10 program:
+    # (50t+o) - (10t+o) recovers the same per-iteration t.
+    K_TIMED = 50
+    _ = float(jnp.sum(propagate(x0, K_TIMED)))  # compile+warm
     # Chain reps through a data dependency (h feeds back in) so no two timed
     # executions have identical inputs — a remote backend that memoizes
     # (executable, inputs) pairs cannot serve a rep from cache — and end each
@@ -136,12 +143,12 @@ def bench_jax(src, dst):
     h = x0
     for _ in range(reps):
         t0 = time.perf_counter()
-        h = propagate(h, ITERATIONS)
+        h = propagate(h, K_TIMED)
         _ = float(jnp.sum(h))
         times.append(time.perf_counter() - t0)
     dt = min(times)
-    edges_per_s = e_total * ITERATIONS / dt
-    log(f"jax propagation: {dt*1000:.1f} ms / {ITERATIONS} iters -> "
+    edges_per_s = e_total * K_TIMED / dt
+    log(f"jax propagation: {dt*1000:.1f} ms / {K_TIMED} iters -> "
         f"{edges_per_s/1e6:.1f} M edges/s")
     # plausibility guard: edges/s above the single-chip HBM bound means the
     # measurement (not the kernel) is wrong; flag loudly in the diagnostics.
