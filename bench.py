@@ -90,9 +90,9 @@ def bench_jax(src, dst):
     import dataclasses
     import jax
     import jax.numpy as jnp
-    from functools import partial
     from gnntf_tpu.graph import from_edges
     from gnntf_tpu.ops import normalize_adjacency, prepare_spmm
+    from gnntf_tpu.ops.hoist import hoisting_jit
 
     graph = from_edges(src, dst, n_nodes=N_NODES, directed=False)
     e_total = graph.n_edges
@@ -114,17 +114,6 @@ def bench_jax(src, dst):
     # (documentation/performance.md, r02/r03 root cause)
     prepared = prepare_spmm(normed)
 
-    # All ITERATIONS chained inside ONE jitted call (lax.fori_loop) so the
-    # measurement amortizes dispatch/tunnel RTT, and the timed section ends
-    # with an actual device->host value fetch: on the remote-TPU (axon)
-    # backend block_until_ready() returns before execution completes, so a
-    # fetch is the only honest completion barrier.
-    @partial(jax.jit, static_argnums=1)
-    def propagate(h0, k):
-        def body(_, h):
-            return (1.0 - ALPHA) * prepared(h) + ALPHA * h0
-        return jax.lax.fori_loop(0, k, body, h0)
-
     # Timed chain length: long enough that the per-call fixed cost (jit
     # dispatch + device->host fetch through the remote tunnel, measured
     # ~30 ms — a development-environment artifact, not kernel cost)
@@ -132,7 +121,22 @@ def bench_jax(src, dst):
     # kernel time per fetch.  Cross-checked against the K=10 program:
     # (50t+o) - (10t+o) recovers the same per-iteration t.
     K_TIMED = 50
-    _ = float(jnp.sum(propagate(x0, K_TIMED)))  # compile+warm
+
+    # All ITERATIONS chained inside ONE jitted call (lax.fori_loop) so the
+    # measurement amortizes dispatch/tunnel RTT, and the timed section ends
+    # with an actual device->host value fetch: on the remote-TPU (axon)
+    # backend block_until_ready() returns before execution completes, so a
+    # fetch is the only honest completion barrier.  hoisting_jit: the
+    # prepared routing state (ELL value grid + dense hub slice, >100 MB)
+    # enters as parameters, not HLO literals — the program is pure code
+    # and compiles in seconds (ops/hoist.py; r03 root cause).
+    @hoisting_jit
+    def propagate(h0):
+        def body(_, h):
+            return (1.0 - ALPHA) * prepared(h) + ALPHA * h0
+        return jax.lax.fori_loop(0, K_TIMED, body, h0)
+
+    _ = float(jnp.sum(propagate(x0)))  # compile+warm
     # Chain reps through a data dependency (h feeds back in) so no two timed
     # executions have identical inputs — a remote backend that memoizes
     # (executable, inputs) pairs cannot serve a rep from cache — and end each
@@ -143,7 +147,7 @@ def bench_jax(src, dst):
     h = x0
     for _ in range(reps):
         t0 = time.perf_counter()
-        h = propagate(h, K_TIMED)
+        h = propagate(h)
         _ = float(jnp.sum(h))
         times.append(time.perf_counter() - t0)
     dt = min(times)
@@ -172,6 +176,7 @@ def bench_jax_train(src, dst):
     import jax.numpy as jnp
     import gnntf_tpu as gt
     from gnntf_tpu.graph import from_edges
+    from gnntf_tpu.ops.hoist import hoisting_jit
     from gnntf_tpu.train.trainer import _total_loss, keras_adam
     import optax
 
@@ -202,7 +207,11 @@ def bench_jax_train(src, dst):
 
     K = 5  # epochs fused per dispatch (amortizes tunnel RTT)
 
-    @jax.jit
+    # hoisting_jit: TrainGrids / layout routing / features enter as
+    # parameters — without this the program embeds ~45 MB of literals and
+    # remote compile nondeterministically exceeds the driver budget
+    # (BENCH_r03 "constant folding" tail; ops/hoist.py)
+    @hoisting_jit
     def run(params, opt_state, rngs):
         (params, opt_state), (losses, vlosses) = jax.lax.scan(
             epoch_body, (params, opt_state), rngs)

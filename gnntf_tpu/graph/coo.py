@@ -60,6 +60,15 @@ class Graph:
     gather/scatter traffic from the training path.  Applied *before* the
     lazy scales (dropout happens before renormalization, reference
     gnn.py:36-47).
+
+    **Lazy post-scale identity** (``eye_weight``): the effective matrix is
+    ``diag(row_scale) A diag(col_scale) + eye_weight * I``.  This is how
+    self-loops added *after* normalization (reference ``add_eye='after'``,
+    gnn.py:48-49) stay lazy: ``(A_norm + wI) @ x == A_norm @ x + w*x``
+    exactly, so the SpMM adds ``w*x`` instead of extending the edge list —
+    which would force materializing the (traced, under dropout) scales
+    into per-edge values and knock the training path off the grid-resident
+    formulation.
     """
 
     row: jax.Array            # [E] int32 destination ids
@@ -73,6 +82,7 @@ class Graph:
     drop_salt: Optional[jax.Array] = None   # (2,) uint32 or None (no dropout)
     drop_keep: float = dataclasses.field(default=1.0, metadata=dict(static=True))
     drop_n: int = dataclasses.field(default=0, metadata=dict(static=True))
+    eye_weight: float = dataclasses.field(default=0.0, metadata=dict(static=True))
 
     @property
     def n_edges(self) -> int:
@@ -101,20 +111,23 @@ class Graph:
                                    drop_salt=None, drop_keep=1.0, drop_n=0)
 
     def materialized(self) -> "Graph":
-        """Fold the lazy dropout and diagonal scales into per-edge values
-        (the scale fold costs two E-sized gathers — the cost the lazy
-        representation exists to avoid; call only where per-edge values
-        are required)."""
+        """Fold the lazy dropout, diagonal scales and post-scale identity
+        into per-edge values (the scale fold costs two E-sized gathers —
+        the cost the lazy representation exists to avoid; call only where
+        per-edge values are required)."""
         self = self.materialized_dropout()
-        if not self.scaled:
-            return self
-        val = self.val
-        if self.row_scale is not None:
-            val = val * self.row_scale[self.row].astype(val.dtype)
-        if self.col_scale is not None:
-            val = val * self.col_scale[self.col].astype(val.dtype)
-        return dataclasses.replace(self, val=val, row_scale=None,
-                                   col_scale=None)
+        if self.scaled:
+            val = self.val
+            if self.row_scale is not None:
+                val = val * self.row_scale[self.row].astype(val.dtype)
+            if self.col_scale is not None:
+                val = val * self.col_scale[self.col].astype(val.dtype)
+            self = dataclasses.replace(self, val=val, row_scale=None,
+                                       col_scale=None)
+        if self.eye_weight != 0.0:
+            self = _append_eye(dataclasses.replace(self, eye_weight=0.0),
+                               self.eye_weight)
+        return self
 
     def to_dense(self) -> jax.Array:
         """Densify (testing only)."""
@@ -175,24 +188,72 @@ def from_edges(
     )
 
 
-def add_self_loops(graph: Graph, weight: float = 1.0) -> Graph:
-    """Append N identity entries (kept out of edge dropout).
-
-    Mirrors ``tf.sparse.add(graph, tf.sparse.eye(n))``
-    (reference gnn.py:38-39, :48-49); duplicate entries are summed implicitly
-    by downstream segment sums.
-
-    A lazily-scaled graph is materialized first: the appended identity
-    entries must contribute exactly ``weight``, not ``rs[i]*weight*cs[i]``.
-    """
-    graph = graph.materialized()
+def _append_eye(graph: Graph, weight: float) -> Graph:
+    """Structurally append N identity entries to an *unscaled* graph.
+    Lazy-dropout fields survive: the appended entries sit at edge ids
+    ``>= drop_n``, which the counter-based mask exempts by construction
+    (ops/stochastic.keep_mask), exactly the reference's
+    dropout-then-add-eye order (gnn.py:37-39)."""
     n = graph.n_nodes
     eye = jnp.arange(n, dtype=jnp.int32)
-    return Graph(
+    return dataclasses.replace(
+        graph,
         row=jnp.concatenate([graph.row, eye]),
         col=jnp.concatenate([graph.col, eye]),
-        val=jnp.concatenate([graph.val, jnp.full((n,), weight, graph.val.dtype)]),
-        n_nodes=n,
+        val=jnp.concatenate(
+            [graph.val, jnp.full((n,), weight, graph.val.dtype)]),
         num_self_loop=graph.num_self_loop + n,
         sorted_by_row=False,
     )
+
+
+# Extended-structure memo: add_eye='before' runs once per layer per trace,
+# and the per-layer results must be the *same array objects* so the
+# SpMM layout/grid caches (identity-keyed) hit across layers and traces.
+_EYE_CACHE = None  # lazily constructed IdLRU (avoids import cycle at load)
+
+
+def add_self_loops(graph: Graph, weight: float = 1.0) -> Graph:
+    """Add N identity entries (kept out of edge dropout).
+
+    Mirrors ``tf.sparse.add(graph, tf.sparse.eye(n))``
+    (reference gnn.py:38-39, :48-49); duplicate entries are summed
+    implicitly by downstream segment sums.
+
+    Lazy-friendly on both reference paths:
+
+    * ``add_eye='after'`` arrives with a *scaled* graph — the identity is
+      kept symbolic as ``eye_weight`` (``A_norm @ x + w*x``, exact), so
+      neither the (possibly traced) scales nor the dropout are
+      materialized.
+    * ``add_eye='before'`` arrives unscaled — the structure is extended
+      concretely (memoized so every layer shares one extension and the
+      layout caches hit) and lazy dropout fields survive untouched.
+    """
+    if graph.scaled:
+        return dataclasses.replace(graph,
+                                   eye_weight=graph.eye_weight + weight)
+    concrete = (not isinstance(graph.row, jax.core.Tracer)
+                and not isinstance(graph.val, jax.core.Tracer))
+    if not concrete:
+        return _append_eye(graph, weight)
+    global _EYE_CACHE
+    if _EYE_CACHE is None:
+        from ..utils.idcache import IdLRU
+        _EYE_CACHE = IdLRU()
+    key = ("eye", id(graph.row), id(graph.col), id(graph.val),
+           float(weight), graph.num_self_loop)
+    anchors = (graph.row, graph.col, graph.val)
+    ext = _EYE_CACHE.get(key, anchors)
+    if ext is None:
+        base = dataclasses.replace(graph, drop_salt=None, drop_keep=1.0,
+                                   drop_n=0)
+        # keep the build eager even mid-trace: the cached arrays must be
+        # concrete, not staged tracers (omnistaging)
+        with jax.ensure_compile_time_eval():
+            ext = _append_eye(base, weight)
+        _EYE_CACHE.put(key, anchors, ext)
+    # reattach the caller's (possibly traced) lazy-dropout state
+    return dataclasses.replace(ext, drop_salt=graph.drop_salt,
+                               drop_keep=graph.drop_keep,
+                               drop_n=graph.drop_n)

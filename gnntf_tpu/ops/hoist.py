@@ -1,0 +1,184 @@
+"""Constant hoisting: large closed-over arrays become jit *arguments*.
+
+Why this exists (round-3 root cause, BENCH_r03 / VERDICT): JAX lowers
+every concrete array a jitted program closes over — numpy or jax.Array
+alike — as an HLO *literal embedded in the program text* (measured on
+jax 0.9.0: a 2M-element closed-over array adds 16 MB of HLO).  The
+training step of this framework closes over ~45 MB of SpMM layout grids
+(``ops/stochastic.TrainGrids``, ELL/hybrid routing tables) plus the
+feature matrix, so its program blew past the remote-compile payload
+limit (HTTP 413) while XLA spent minutes constant-folding E-sized
+chains at compile time.  The reference never meets this problem only
+because it never compiles anything (TF eager, trainable.py:63-84).
+
+The fix is structural: pass those arrays as *parameters* instead.
+Parameters are never inlined and never constant-folded, the program is
+pure code, and the persistent compilation cache actually hits.
+
+Mechanism — jaxpr-level closure conversion (a generalization of
+``jax.closure_convert``, which only extracts inexact-dtype consts and
+would leave the int32/uint32 index grids inline):
+
+1. ``jax.make_jaxpr`` traces the function once.  Every closed-over
+   concrete array — including constants captured inside ``lax.scan`` /
+   ``cond`` bodies, which initial-style processing lifts to the top
+   level — lands in ``ClosedJaxpr.consts``.
+2. Consts at least :data:`MIN_HOIST_BYTES` big are deduplicated (by
+   object identity) and moved to an explicit argument list; small ones
+   stay inline (tiny literals are cheap and often *help* XLA).
+3. The compiled callable is ``jit(eval_jaxpr(jaxpr, merged_consts,
+   *args))`` with the big consts passed (device-resident) on every
+   call.
+
+A per-(pytree, aval) signature cache re-traces on new input shapes,
+matching ``jax.jit`` semantics.  An earlier design marked constants at
+their use sites via a contextvar and traced twice (collect/replay); it
+failed subtly — ``lax.scan`` caches body jaxprs by function identity,
+so the replay could reuse a collect-phase jaxpr with the constants
+baked in.  Working on the jaxpr directly has no such coherence problem
+and needs no cooperation from library code.
+"""
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import core as jax_core
+from jax import tree_util as jtu
+
+# Arrays below this size stay inline constants: tiny literals (thresholds,
+# iota seeds, eye matrices) are cheap to embed, while every hoisted array
+# adds an executable parameter.
+MIN_HOIST_BYTES = 16 * 1024
+
+
+def hoisted(arr):
+    """Deprecated marker, kept for API stability: hoisting now happens
+    automatically at the jaxpr level inside :class:`hoisting_jit`, so
+    this is the identity."""
+    return arr
+
+
+def _const_nbytes(c) -> int:
+    """nbytes of an array-like jaxpr const (numpy, jax.Array, or jax
+    0.9's TypedNdArray literal wrapper, which lacks .nbytes)."""
+    n = getattr(c, "nbytes", None)
+    if isinstance(n, (int, np.integer)):
+        return int(n)
+    size = getattr(c, "size", None)
+    dtype = getattr(c, "dtype", None)
+    if size is None or dtype is None:
+        return 0
+    try:
+        return int(size) * np.dtype(dtype).itemsize
+    except TypeError:
+        return 0
+
+
+def _const_digest(c):
+    """Content key for const dedup: (shape, dtype, blake2b of the raw
+    buffer).  Streaming over the buffer, no copy for contiguous arrays;
+    falls back to object identity for device arrays (fetching one back
+    through a remote tunnel would cost more than a duplicate upload)."""
+    import hashlib
+
+    if isinstance(c, jax.Array):
+        return ("dev", id(c))
+    v = np.asarray(getattr(c, "val", c))
+    if not v.flags.c_contiguous:
+        v = np.ascontiguousarray(v)
+    h = hashlib.blake2b(v.reshape(-1).view(np.uint8).data, digest_size=16)
+    return (v.shape, str(v.dtype), h.digest())
+
+
+class _Program:
+    """One traced-and-converted program for a fixed input signature."""
+
+    __slots__ = ("jitted", "big_consts", "out_tree", "n_hoisted",
+                 "hoisted_bytes")
+
+    def __init__(self, fn: Callable, args):
+        closed, out_shape = jax.make_jaxpr(
+            lambda *a: fn(*a), return_shape=True)(*args)
+        self.out_tree = jtu.tree_structure(out_shape)
+        spec = []          # per-const: (True, big_index) | (False, value)
+        big_index = {}     # id(underlying buffer) -> position in big list
+        big = []
+        for c in closed.consts:
+            if _const_nbytes(c) >= MIN_HOIST_BYTES:
+                # initial-style lifting (scan/cond bodies) can *copy* a
+                # constant, so identity dedup misses — dedup by content
+                # digest (one streaming pass over the buffer at build
+                # time; a duplicated 170 MB hub slice would otherwise be
+                # uploaded twice and held twice in HBM)
+                key = _const_digest(c)
+                if key not in big_index:
+                    big_index[key] = len(big)
+                    big.append(c)
+                spec.append((True, big_index[key]))
+            else:
+                spec.append((False, c))
+        self.big_consts = [c if isinstance(c, jax.Array) else
+                           jax.device_put(c) for c in big]
+        self.n_hoisted = len(big)
+        self.hoisted_bytes = int(sum(_const_nbytes(c) for c in big))
+        jaxpr, out_tree = closed.jaxpr, self.out_tree
+
+        def inner(big_args, *flat_args):
+            consts = [big_args[v] if is_big else v for is_big, v in spec]
+            outs = jax_core.eval_jaxpr(jaxpr, consts, *flat_args)
+            return jtu.tree_unflatten(out_tree, outs)
+
+        self.jitted = jax.jit(inner)
+
+    def __call__(self, flat_args):
+        return self.jitted(self.big_consts, *flat_args)
+
+    def lower(self, flat_args):
+        return self.jitted.lower(self.big_consts, *flat_args)
+
+
+def _signature(args):
+    flat, tree = jtu.tree_flatten(args)
+    return flat, (tree, tuple(
+        (np.shape(a), getattr(a, "dtype", None) or np.result_type(a))
+        for a in flat))
+
+
+class hoisting_jit:
+    """``jax.jit`` variant that passes every large closed-over constant
+    as an argument (see module docstring).  Usable as a decorator."""
+
+    def __init__(self, fn: Callable):
+        self._fn = fn
+        self._programs = {}
+
+    def _program(self, args) -> _Program:
+        flat, sig = _signature(args)
+        prog = self._programs.get(sig)
+        if prog is None:
+            prog = _Program(self._fn, args)
+            self._programs[sig] = prog
+        return prog, flat
+
+    def __call__(self, *args):
+        prog, flat = self._program(args)
+        return prog(flat)
+
+    def lower(self, *args):
+        """Lower without executing (for program-size inspection/tests)."""
+        prog, flat = self._program(args)
+        return prog.lower(flat)
+
+    @property
+    def n_hoisted(self) -> int:
+        if not self._programs:
+            raise ValueError("not built yet — call or lower() first")
+        return next(iter(self._programs.values())).n_hoisted
+
+    def hoisted_bytes(self) -> int:
+        if not self._programs:
+            raise ValueError("not built yet — call or lower() first")
+        return next(iter(self._programs.values())).hoisted_bytes

@@ -40,26 +40,36 @@ from ..graph.coo import Graph, add_self_loops
 from .dropout import dropout
 
 
-def _degree(graph: Graph) -> jax.Array:
-    """Column sums: deg[j] = sum_i A[i, j] (tf.sparse.reduce_sum axis=0).
+def _degree(graph: Graph, by: str = "col") -> jax.Array:
+    """Column sums: deg[j] = sum_i A[i, j] (tf.sparse.reduce_sum axis=0);
+    ``by='row'`` gives row sums (the 'row' normalization mode).
 
     For a lazily-dropped graph the sum runs over the column-split grid
     (dense k-reduce + sorted combine) instead of an unsorted E-sized
     ``segment_sum`` — measured ~18 ms per layer per step at 2.3M edges,
-    the single most expensive op of the naive training forward."""
+    the single most expensive op of the naive training forward.  A
+    lazily-dropped graph whose structure arrives *traced* (e.g. a sharded
+    Graph crossing a jit boundary) cannot build grids — it falls back to
+    the materialized segment sum (advisor r3)."""
     if graph.dropped:
-        from .stochastic import stochastic_degree
-        return stochastic_degree(graph, by="col")
-    return jax.ops.segment_sum(graph.val, graph.col, num_segments=graph.n_nodes)
+        from .stochastic import grids_eligible, stochastic_degree
+        if grids_eligible(graph):
+            deg = stochastic_degree(graph, by=by)
+        else:
+            g = graph.materialized_dropout()
+            idx = g.col if by == "col" else g.row
+            deg = jax.ops.segment_sum(g.val, idx, num_segments=g.n_nodes)
+    else:
+        idx = graph.col if by == "col" else graph.row
+        deg = jax.ops.segment_sum(graph.val, idx,
+                                  num_segments=graph.n_nodes)
+    if graph.eye_weight != 0.0:
+        deg = deg + jnp.asarray(graph.eye_weight, deg.dtype)
+    return deg
 
 
 def _degree_row(graph: Graph) -> jax.Array:
-    """Row sums (the 'row' normalization mode)."""
-    if graph.dropped:
-        from .stochastic import stochastic_degree
-        return stochastic_degree(graph, by="row")
-    return jax.ops.segment_sum(graph.val, graph.row,
-                               num_segments=graph.n_nodes)
+    return _degree(graph, by="row")
 
 
 def edge_dropout(graph: Graph, rate: float, rng: Optional[jax.Array]) -> Graph:
@@ -98,9 +108,53 @@ def normalize_adjacency(
     """Jit-compatible equivalent of ``GNN.get_adjacency``.
 
     Pass ``rng=None`` (or ``graph_dropout=0``) for the deterministic
-    (inference / parity) path.
+    (inference / parity) path — memoized per (graph identity, mode), so
+    every layer of an evaluation trace shares ONE normalized graph object
+    (degree pass runs once, and the identity-keyed SpMM layout caches hit
+    across layers and traces).
     """
-    if graph.scaled:
+    deterministic = rng is None or graph_dropout == 0.0
+    cacheable = (deterministic and not graph.scaled and not graph.dropped
+                 and graph.eye_weight == 0.0
+                 and not isinstance(graph.row, jax.core.Tracer)
+                 and not isinstance(graph.val, jax.core.Tracer))
+    if cacheable:
+        global _NORM_CACHE
+        if _NORM_CACHE is None:
+            from ..utils.idcache import IdLRU
+            _NORM_CACHE = IdLRU()
+        key = ("norm", id(graph.row), id(graph.col), id(graph.val),
+               normalized, add_eye)
+        anchors = (graph.row, graph.col, graph.val)
+        hit = _NORM_CACHE.get(key, anchors)
+        if hit is not None:
+            return hit
+        # the cached value must hold *concrete* arrays even when this
+        # runs inside a jit trace (omnistaging stages ops on concrete
+        # inputs too) — ensure_compile_time_eval keeps the one-time
+        # degree pass eager so no tracer can leak into the cache
+        with jax.ensure_compile_time_eval():
+            result = _normalize_impl(graph, graph_dropout=0.0,
+                                     normalized=normalized, add_eye=add_eye,
+                                     rng=None)
+        _NORM_CACHE.put(key, anchors, result)
+        return result
+    return _normalize_impl(graph, graph_dropout=graph_dropout,
+                           normalized=normalized, add_eye=add_eye, rng=rng)
+
+
+_NORM_CACHE = None
+
+
+def _normalize_impl(
+    graph: Graph,
+    *,
+    graph_dropout: float,
+    normalized: str,
+    add_eye: str,
+    rng: Optional[jax.Array],
+) -> Graph:
+    if graph.scaled or graph.eye_weight != 0.0:
         # normalizing an already-normalized graph: fold the scales first so
         # degrees see the effective values (no production path does this,
         # but it must stay correct)

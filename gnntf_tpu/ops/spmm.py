@@ -36,7 +36,6 @@ from __future__ import annotations
 
 import contextvars
 import dataclasses
-from collections import OrderedDict
 from typing import Optional
 
 import jax
@@ -44,6 +43,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..graph.coo import Graph
+from ..utils.idcache import IdLRU, sizeof
 
 _IMPL_NAMES = ("auto", "segment", "ell", "hybrid", "pallas")
 _ELL_MIN_EDGES = 65_536
@@ -150,23 +150,30 @@ def _no_fold(val) -> jax.Array:
 
 def _scaled_call(fn, graph: Graph, x: jax.Array, **kw) -> jax.Array:
     """Apply a lazily-scaled graph's diagonal scales as (N, F) row-wise
-    multiplies around ``fn`` on the unscaled base graph (see ``spmm``)."""
+    multiplies — and the lazy post-scale identity as ``+ w*x`` — around
+    ``fn`` on the unscaled base graph (see ``spmm``)."""
     rs, cs = graph.row_scale, graph.col_scale
-    base = dataclasses.replace(graph, row_scale=None, col_scale=None)
+    w = graph.eye_weight
+    base = dataclasses.replace(graph, row_scale=None, col_scale=None,
+                               eye_weight=0.0)
+    xin = x
     if cs is not None:
-        x = x * cs[:, None].astype(x.dtype)
-    out = fn(base, x, **kw)
+        xin = xin * cs[:, None].astype(x.dtype)
+    out = fn(base, xin, **kw)
     if rs is not None:
         out = out * rs[:, None].astype(out.dtype)
+    if w != 0.0:
+        out = out + jnp.asarray(w, x.dtype) * x
     return out
 
 
 def spmm_segment(graph: Graph, x: jax.Array) -> jax.Array:
     """out[i, :] = sum_e{row[e]=i} val[e] * x[col[e], :]  (out = A @ X)."""
-    if graph.scaled:
+    if graph.scaled or graph.eye_weight != 0.0:
         return _scaled_call(spmm_segment, graph, x)
     graph = graph.materialized_dropout()
-    gathered = x[graph.col] * graph.val[:, None].astype(x.dtype)
+    val = graph.val
+    gathered = x[graph.col] * val[:, None].astype(x.dtype)
     return jax.ops.segment_sum(
         gathered,
         graph.row,
@@ -228,7 +235,8 @@ class ELLLayout:
         when the structure has no duplicates."""
         if self.dup_order is None:
             return val
-        return jax.ops.segment_sum(val[self.dup_order], self.dup_seg,
+        return jax.ops.segment_sum(val[self.dup_order],
+                                   self.dup_seg,
                                    num_segments=self.n_unique,
                                    indices_are_sorted=True)
 
@@ -306,24 +314,17 @@ def build_ell(row: np.ndarray, col: np.ndarray, n_nodes: int,
                      vrow_row=vrow_row, k=k, n_nodes=n_nodes, edge_slot=slot)
 
 
-_ELL_CACHE: OrderedDict = OrderedDict()
-_ELL_CACHE_MAX = 32
+_ELL_CACHE = IdLRU()  # byte-bounded with anchor-identity re-check
 
 
 def _ell_layout(graph: Graph, k: int) -> ELLLayout:
-    # keyed on id() but a strong reference to the keying array is kept in
-    # the value, so a recycled id can never alias a dead graph's layout;
-    # bounded LRU so per-sample-subgraph workloads don't leak layouts
-    key = (id(graph.row), k)
-    hit = _ELL_CACHE.get(key)
-    if hit is not None and hit[0] is graph.row:
-        _ELL_CACHE.move_to_end(key)
-        return hit[1]
-    layout = build_ell(np.asarray(graph.row), np.asarray(graph.col),
-                       graph.n_nodes, k)
-    _ELL_CACHE[key] = (graph.row, layout)
-    while len(_ELL_CACHE) > _ELL_CACHE_MAX:
-        _ELL_CACHE.popitem(last=False)
+    key = ("ell", id(graph.row), id(graph.col), k)
+    anchors = (graph.row, graph.col)
+    layout = _ELL_CACHE.get(key, anchors)
+    if layout is None:
+        layout = build_ell(np.asarray(graph.row), np.asarray(graph.col),
+                           graph.n_nodes, k)
+        _ELL_CACHE.put(key, anchors, layout)
     return layout
 
 
@@ -346,8 +347,8 @@ def _ell_apply(layout: ELLLayout, val: jax.Array, x: jax.Array,
     v_total = layout.n_vrows
     vals = jnp.zeros((v_total * layout.k,), x.dtype)
     vals = vals.at[layout.slot].set(val.astype(x.dtype),
-                                    indices_are_sorted=slots_sorted,
-                                    unique_indices=True)
+                                             indices_are_sorted=slots_sorted,
+                                             unique_indices=True)
     return _ell_compute(layout, vals.reshape(v_total, layout.k), x, n_nodes)
 
 
@@ -363,7 +364,7 @@ def spmm_ell(graph: Graph, x: jax.Array, k: int = _ELL_DEFAULT_K) -> jax.Array:
     original edge order (``layout.edge_slot``): duplicate (row, col) pairs
     share a slot, so the add coalesces them for free — no E-sized
     ``val[dup_order]`` gather on the hot path."""
-    if graph.scaled:
+    if graph.scaled or graph.eye_weight != 0.0:
         return _scaled_call(spmm_ell, graph, x, k=k)
     graph = graph.materialized_dropout()
     layout = _ell_layout(graph, k)
@@ -486,23 +487,20 @@ def build_hybrid(row, col, n_nodes: int, k: int = _ELL_DEFAULT_K,
         ell_slot_of_edge=ell_of_edge, dense_flat_of_edge=dense_of_edge)
 
 
-_HYBRID_CACHE: OrderedDict = OrderedDict()
+_HYBRID_CACHE = IdLRU()
 _NO_HUBS = "no-hubs"  # sentinel: hybrid build declined, use plain ELL
 
 
 def _hybrid_layout(graph: Graph, k: int):
-    key = (id(graph.row), k)
-    hit = _HYBRID_CACHE.get(key)
-    if hit is not None and hit[0] is graph.row:
-        _HYBRID_CACHE.move_to_end(key)
-        return hit[1]
-    layout = build_hybrid(np.asarray(graph.row), np.asarray(graph.col),
-                          graph.n_nodes, k)
-    _HYBRID_CACHE[key] = (graph.row, layout if layout is not None
-                          else _NO_HUBS)
-    while len(_HYBRID_CACHE) > _ELL_CACHE_MAX:
-        _HYBRID_CACHE.popitem(last=False)
-    return _HYBRID_CACHE[key][1]
+    key = ("hybrid", id(graph.row), id(graph.col), k)
+    anchors = (graph.row, graph.col)
+    hit = _HYBRID_CACHE.get(key, anchors)
+    if hit is None:
+        layout = build_hybrid(np.asarray(graph.row), np.asarray(graph.col),
+                              graph.n_nodes, k)
+        hit = layout if layout is not None else _NO_HUBS
+        _HYBRID_CACHE.put(key, anchors, hit)
+    return hit
 
 
 def spmm_hybrid(graph: Graph, x: jax.Array,
@@ -520,7 +518,7 @@ def spmm_hybrid(graph: Graph, x: jax.Array,
     gathers remain on the hot path (the old
     gather->segment_sum->gather chain cost more than the SpMM itself at
     ogbn-arxiv scale)."""
-    if graph.scaled:
+    if graph.scaled or graph.eye_weight != 0.0:
         return _scaled_call(spmm_hybrid, graph, x, k=k)
     graph = graph.materialized_dropout()
     layout = _hybrid_layout(graph, k)
@@ -529,11 +527,13 @@ def spmm_hybrid(graph: Graph, x: jax.Array,
     val = graph.val.astype(x.dtype)
     rest = layout.rest
     ell_vals = jnp.zeros((rest.n_vrows * rest.k,), x.dtype)
-    ell_vals = ell_vals.at[layout.ell_slot_of_edge].add(val, mode="drop")
+    ell_vals = ell_vals.at[layout.ell_slot_of_edge].add(
+        val, mode="drop")
     out = _ell_compute(rest, ell_vals.reshape(rest.n_vrows, rest.k), x,
                        graph.n_nodes)
     dense = jnp.zeros((graph.n_nodes * layout.n_hubs,), x.dtype)
-    dense = dense.at[layout.dense_flat_of_edge].add(val, mode="drop")
+    dense = dense.at[layout.dense_flat_of_edge].add(
+        val, mode="drop")
     dense = dense.reshape(graph.n_nodes, layout.n_hubs)
     return out + jnp.dot(dense, x[layout.hub_ids],
                          preferred_element_type=x.dtype)
@@ -572,10 +572,19 @@ class PreparedSpMM:
         if isinstance(graph.val, jax.core.Tracer):
             raise TypeError("prepare_spmm needs concrete edge values; for "
                             "traced values (dropout) call spmm() directly")
+        # the one-time value routing must stay eager even when this runs
+        # inside a jit trace (the dispatcher builds lazily mid-trace):
+        # staged-but-concrete results would leak tracers into the cache
+        with jax.ensure_compile_time_eval():
+            self._build(graph, k)
+
+    def _build(self, graph: Graph, k: int):
         self.n_nodes = graph.n_nodes
         self.row_scale = graph.row_scale
         self.col_scale = graph.col_scale
-        base = dataclasses.replace(graph, row_scale=None, col_scale=None)
+        self.eye_weight = graph.eye_weight
+        base = dataclasses.replace(graph, row_scale=None, col_scale=None,
+                                   eye_weight=0.0)
         val = jnp.asarray(base.val)
         layout = _hybrid_layout(base, k)
         if layout is _NO_HUBS or layout is None:
@@ -604,21 +613,47 @@ class PreparedSpMM:
         jax.block_until_ready(self.ell_vals)
 
     def __call__(self, x: jax.Array) -> jax.Array:
+        xin = x
         if self.col_scale is not None:
-            x = x * self.col_scale[:, None].astype(x.dtype)
-        out = _ell_compute(self.ell, self.ell_vals.astype(x.dtype), x,
-                           self.n_nodes)
+            xin = xin * self.col_scale[:, None].astype(x.dtype)
+        out = _ell_compute(self.ell, self.ell_vals.astype(x.dtype),
+                           xin, self.n_nodes)
         if self.dense is not None:
-            out = out + jnp.dot(self.dense.astype(x.dtype), x[self.hub_ids],
+            out = out + jnp.dot(self.dense.astype(x.dtype),
+                                xin[self.hub_ids],
                                 preferred_element_type=x.dtype)
         if self.row_scale is not None:
             out = out * self.row_scale[:, None].astype(out.dtype)
+        if self.eye_weight != 0.0:
+            out = out + jnp.asarray(self.eye_weight, x.dtype) * x
         return out
+
+    def nbytes(self) -> int:
+        return sizeof((self.ell_vals, self.dense, self.hub_ids,
+                       self.row_scale, self.col_scale)) + sizeof(self.ell)
 
 
 def prepare_spmm(graph: Graph, k: int = _ELL_DEFAULT_K) -> PreparedSpMM:
     """Build a :class:`PreparedSpMM` for a fixed (concrete-valued) graph."""
     return PreparedSpMM(graph, k)
+
+
+_PREPARED_CACHE = IdLRU()
+
+
+def _prepared_cached(graph: Graph, k: int) -> PreparedSpMM:
+    """Memoized :class:`PreparedSpMM` for an unscaled, undropped,
+    concrete-valued graph — the dispatcher's fixed-adjacency fast path
+    (evaluation / inference inside a jitted step).  The eager one-time
+    build runs during the first trace; later traces and the hoisting
+    replay hit the cache and see only parameter-fed arrays."""
+    key = ("prep", id(graph.row), id(graph.col), id(graph.val), k)
+    anchors = (graph.row, graph.col, graph.val)
+    prep = _PREPARED_CACHE.get(key, anchors)
+    if prep is None:
+        prep = PreparedSpMM(graph, k)
+        _PREPARED_CACHE.put(key, anchors, prep, nbytes=prep.nbytes())
+    return prep
 
 
 def spmm(graph: Graph, x: jax.Array) -> jax.Array:
@@ -627,7 +662,13 @@ def spmm(graph: Graph, x: jax.Array) -> jax.Array:
     Lazy diagonal scales (``graph.row_scale``/``col_scale``, produced by
     ``normalize_adjacency``) are applied here as (N, F) row-wise multiplies
     around the product — ``rs ⊙ (A @ (cs ⊙ x))`` — so no implementation or
-    executor ever pays the two E-sized per-edge scale gathers."""
+    executor ever pays the two E-sized per-edge scale gathers.  The lazy
+    post-scale identity (``eye_weight``, add_eye='after') is the exact
+    rewrite ``(A' + wI) @ x = A' @ x + w*x``."""
+    if graph.eye_weight != 0.0:
+        w = graph.eye_weight
+        base = dataclasses.replace(graph, eye_weight=0.0)
+        return spmm(base, x) + jnp.asarray(w, x.dtype) * x
     if graph.scaled:
         rs, cs = graph.row_scale, graph.col_scale
         base = dataclasses.replace(graph, row_scale=None, col_scale=None)
@@ -653,6 +694,15 @@ def spmm(graph: Graph, x: jax.Array) -> jax.Array:
             # gather issue)
             return stochastic_spmm(graph, x)
         return spmm(graph.materialized_dropout(), x)
+    if (impl in ("auto", "hybrid")
+            and graph.n_edges >= _ELL_MIN_EDGES
+            and _structure_is_concrete(graph)
+            and not isinstance(graph.val, jax.core.Tracer)):
+        # fixed adjacency at scale (evaluation/inference inside a step):
+        # value routing prepared once, eagerly, outside the program — the
+        # per-call work is gather/k-reduce/MXU only and all state arrives
+        # as hoisted parameters, never as folded constants
+        return _prepared_cached(graph, _ELL_DEFAULT_K)(x)
     if impl == "auto":
         impl = ("hybrid" if graph.n_edges >= _ELL_MIN_EDGES
                 and _structure_is_concrete(graph) else "segment")

@@ -44,7 +44,6 @@ per-edge materialized path in tests/test_stochastic.py.
 from __future__ import annotations
 
 import dataclasses
-from collections import OrderedDict
 from typing import Optional
 
 import jax
@@ -52,12 +51,16 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..graph.coo import Graph
+from ..utils.idcache import IdLRU
 
 # Graphs below this many edges keep the plain jax.random.bernoulli path
 # (grid build cost + constants aren't worth it; parity-scale graphs are
 # unaffected by design).
 MIN_EDGES = 65_536
-_K = 8  # row-split width; k=8 measured optimal (documentation/performance.md)
+# row-split width shared with the deterministic ELL/hybrid formulations
+# (ops/spmm.py) so a k retune there applies to the training grids too
+from .spmm import _ELL_DEFAULT_K as _K  # noqa: E402  (cycle-safe: spmm
+# imports this module only lazily inside functions)
 
 
 def salts_from_key(rng: jax.Array) -> jax.Array:
@@ -117,8 +120,8 @@ def materialize_dropped(graph: Graph) -> jax.Array:
     realization every grid computes (same hash, same ids).  Used by every
     fallback path (segment impl, distributed executors, inspection)."""
     eids = jax.lax.iota(jnp.uint32, graph.n_edges)
-    return dropped_values(graph.val, eids, graph.drop_salt, graph.drop_keep,
-                          graph.drop_n)
+    return dropped_values(graph.val, eids, graph.drop_salt,
+                          graph.drop_keep, graph.drop_n)
 
 
 @dataclasses.dataclass
@@ -161,6 +164,9 @@ class TrainGrids:
         n = self.n_nodes
 
         def _apply(idx, vrow, vals, x):
+            # under a hoisting_jit these constant grids enter the program
+            # as parameters, not 10-MB literals (jaxpr-level closure
+            # conversion, ops/hoist.py; covered by tests/test_hoist.py)
             xp = jnp.concatenate(
                 [x, jnp.zeros((1, x.shape[1]), x.dtype)], axis=0)
             part = (xp[idx] * vals[:, :, None]).sum(axis=1)
@@ -212,25 +218,24 @@ def build_train_grids(row: np.ndarray, col: np.ndarray, val,
     )
 
 
-_GRIDS_CACHE: OrderedDict = OrderedDict()
-_GRIDS_CACHE_MAX = 8  # bench-scale grids are ~45 MB of device constants
+_GRIDS_CACHE = IdLRU()  # byte-bounded; shares the global layout budget
 
 
 def train_grids(graph: Graph, k: int = _K) -> TrainGrids:
-    """Memoized grids for a concrete-structure graph.  Keyed on array
-    identity (strong refs kept in the value, as the other layout caches);
-    safe to call mid-trace — construction touches only concrete arrays,
-    so it executes eagerly even inside jit."""
-    key = (id(graph.row), id(graph.val), k)
-    hit = _GRIDS_CACHE.get(key)
-    if hit is not None and hit[0] is graph.row and hit[1] is graph.val:
-        _GRIDS_CACHE.move_to_end(key)
-        return hit[2]
-    grids = build_train_grids(np.asarray(graph.row), np.asarray(graph.col),
-                              np.asarray(graph.val), graph.n_nodes, k)
-    _GRIDS_CACHE[key] = (graph.row, graph.val, grids)
-    while len(_GRIDS_CACHE) > _GRIDS_CACHE_MAX:
-        _GRIDS_CACHE.popitem(last=False)
+    """Memoized grids for a concrete-structure graph.  Keyed on the
+    identity of row, col AND val (a graph sharing row/val objects but a
+    different col must not reuse grids — advisor r3); strong refs to the
+    anchors are kept in the cache entry.  Safe to call mid-trace —
+    construction touches only concrete arrays, so it executes eagerly
+    even inside jit."""
+    key = (id(graph.row), id(graph.col), id(graph.val), k)
+    anchors = (graph.row, graph.col, graph.val)
+    grids = _GRIDS_CACHE.get(key, anchors)
+    if grids is None:
+        grids = build_train_grids(np.asarray(graph.row),
+                                  np.asarray(graph.col),
+                                  np.asarray(graph.val), graph.n_nodes, k)
+        _GRIDS_CACHE.put(key, anchors, grids)
     return grids
 
 
@@ -244,12 +249,14 @@ def grids_eligible(graph: Graph) -> bool:
 
 
 def masked_row_values(grids: TrainGrids, graph: Graph) -> jax.Array:
-    return dropped_values(grids.r_val.astype(graph.val.dtype), grids.r_eid,
+    rv = jnp.asarray(grids.r_val).astype(graph.val.dtype)
+    return dropped_values(rv, grids.r_eid,
                           graph.drop_salt, graph.drop_keep, graph.drop_n)
 
 
 def masked_col_values(grids: TrainGrids, graph: Graph) -> jax.Array:
-    return dropped_values(grids.c_val.astype(graph.val.dtype), grids.c_eid,
+    cv = jnp.asarray(grids.c_val).astype(graph.val.dtype)
+    return dropped_values(cv, grids.c_eid,
                           graph.drop_salt, graph.drop_keep, graph.drop_n)
 
 

@@ -41,6 +41,7 @@ import optax
 
 from .. import measures
 from ..nn.core import Network, Params
+from ..ops.hoist import hoisting_jit
 from ..tasks.base import Predictor
 
 
@@ -109,7 +110,9 @@ class Trainable(Network):
             self.reset()
         if self._act_cache is None:
             if self._eval_fn is None:  # build once — jit caches by identity
-                self._eval_fn = jax.jit(
+                # hoisting_jit: layout grids/prepared state enter as
+                # parameters, not constants (ops/hoist.py)
+                self._eval_fn = hoisting_jit(
                     lambda p, x: self.apply(p, x, training=False))
             self._act_cache = self._eval_fn(self.params, self.features)
         return self._act_cache
@@ -234,8 +237,7 @@ def fit(model: Trainable, train: Predictor, valid: Optional[Predictor] = None,
     else:
         opt_state = tx.init(params)
 
-        @jax.jit
-        def train_step(params, opt_state, rng, deg, batch):
+        def train_step_raw(params, opt_state, rng, deg, batch):
             loss, grads = jax.value_and_grad(
                 lambda p: _total_loss(model, train, p, model.features, rng,
                                       batch, regularization))(params)
@@ -250,9 +252,17 @@ def fit(model: Trainable, train: Predictor, valid: Optional[Predictor] = None,
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss
 
-        @jax.jit
-        def eval_acts(params):
+        def eval_acts_raw(params):
             return model.apply(params, model.features, training=False)
+
+        # hoisting_jit, not jax.jit: the SpMM layout grids, prepared value
+        # routing and the feature matrix all enter the program as
+        # *parameters* — jax 0.9 inlines closed-over arrays as HLO
+        # literals, which at ogbn scale made the train-step program tens
+        # of MB and its (remote) compile nondeterministically exceed the
+        # bench budget (round-3 root cause, ops/hoist.py)
+        train_step = hoisting_jit(train_step_raw)
+        eval_acts = hoisting_jit(eval_acts_raw)
 
         if mesh is not None:  # spmm == "halo" | "ring"
             # same closures (model closes over the concrete graph), but every
@@ -293,6 +303,11 @@ def fit(model: Trainable, train: Predictor, valid: Optional[Predictor] = None,
 
         train_step = _impl_scoped(train_step)
         eval_acts = _impl_scoped(eval_acts)
+        if mesh is None:
+            # the fused path re-traces the raw fns inside its own block
+            # program — the impl scope must be live during THAT trace too
+            train_step_raw = _impl_scoped(train_step_raw)
+            eval_acts_raw = _impl_scoped(eval_acts_raw)
 
     valid_loss_fn = jax.jit(
         lambda acts, batch, params: valid.loss(acts, batch, params=params))
@@ -343,7 +358,8 @@ def fit(model: Trainable, train: Predictor, valid: Optional[Predictor] = None,
                  and train.static and valid.static and mesh is None)
     if use_fused:
         return _fit_fused(
-            model, train, valid, train_step, eval_acts, params, opt_state,
+            model, train, valid, train_step_raw, eval_acts_raw, params,
+            opt_state,
             base_rng, patience=patience, epochs=epochs,
             degradation=degradation, block_epochs=block_epochs,
             callbacks=callbacks, checkpoint_dir=checkpoint_dir,
@@ -431,7 +447,7 @@ def _fit_fused(model, train, valid, train_step, eval_acts, params, opt_state,
 
     valid_loss_fn = lambda acts, params: valid.loss(acts, vb, params=params)
 
-    @jax.jit
+    @hoisting_jit
     def run_block(params, opt_state, best_params, min_loss, patience_rem,
                   stopped, rngs, degs):
         def body(carry, inp):

@@ -174,7 +174,9 @@ class TestLazyScaling:
     def test_add_eye_after_materializes(self):
         g = self._graph(n=12)
         normed = normalize_adjacency(g, graph_dropout=0.0, add_eye="after")
-        assert not normed.scaled  # eye entries must contribute exactly 1
+        # the identity stays lazy (eye_weight) — exact (A_norm + I) @ x ==
+        # A_norm @ x + x — instead of materializing the scales per edge
+        assert normed.eye_weight == 1.0
         dense = np.asarray(normed.to_dense())
         base = np.asarray(
             normalize_adjacency(g, graph_dropout=0.0).to_dense())
