@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from ..graph.coo import Graph, add_self_loops
 from ..nn.core import Forward, Layer, Network
 from ..nn.layers import Dropout
-from ..ops.segment import segment_softmax
+from ..ops.attention import gat_attention
 from .gnn import GNN
 
 
@@ -50,9 +50,14 @@ class GATLayer(Layer):
 
     def apply(self, fw: Forward, x):
         graph: Graph = fw.graph
+        if graph.scaled or graph.eye_weight != 0.0:
+            # attention reads raw structure; fold any lazy normalization
+            # so appended self-loops appear as real entries
+            graph = graph.materialized()
         if self.self_loops:
-            graph = add_self_loops(graph)  # XLA CSEs the concat across layers
-        row, col = graph.row, graph.col
+            # memoized concrete extension — stable identity, so the
+            # attention ELL layout cache hits across layers and traces
+            graph = add_self_loops(graph)
         n, h_cnt, f = graph.n_nodes, self.heads, self.out_dim
 
         h = jnp.dot(x, fw.param(self.W), preferred_element_type=x.dtype)
@@ -60,19 +65,14 @@ class GATLayer(Layer):
         # per-node score halves: s[n, head] = <h[n, head, :], a[head, :]>
         s_src = jnp.einsum("nhf,hf->nh", h, fw.param(self.a_src))
         s_dst = jnp.einsum("nhf,hf->nh", h, fw.param(self.a_dst))
-        scores = jax.nn.leaky_relu(
-            s_src[col] + s_dst[row], negative_slope=self.negative_slope)
-        alpha = segment_softmax(scores, row, n,
-                                indices_are_sorted=graph.sorted_by_row)
-        if self.attn_dropout and fw.training:
-            from ..ops.dropout import dropout as _dropout
-            alpha = _dropout(fw.next_rng(), alpha, self.attn_dropout)
-        # attention-weighted SpMM per head
-        msgs = h[col] * alpha[:, :, None].astype(h.dtype)     # [E, H, F]
-        out = jax.ops.segment_sum(msgs.reshape(msgs.shape[0], h_cnt * f),
-                                  row, num_segments=n,
-                                  indices_are_sorted=graph.sorted_by_row)
-        out = out.reshape(n, h_cnt, f)
+        # SDDMM -> segment-softmax -> weighted aggregation; at scale this
+        # runs on the row-split ELL grid (sorted combines, no unsorted
+        # E-sized reductions — ops/attention.py)
+        rng = fw.next_rng() if (self.attn_dropout and fw.training) else None
+        out = gat_attention(
+            graph, h, s_src, s_dst, negative_slope=self.negative_slope,
+            attn_dropout=self.attn_dropout if fw.training else 0.0,
+            rng=rng, sorted_by_row=graph.sorted_by_row)
         out = out.reshape(n, h_cnt * f) if self.concat_heads \
             else jnp.mean(out, axis=1)
         if self.b is not None:

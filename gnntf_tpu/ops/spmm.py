@@ -680,9 +680,13 @@ def spmm(graph: Graph, x: jax.Array) -> jax.Array:
         return out
     executor = _SPMM_EXECUTOR_VAR.get()
     if executor is not None:
-        # distributed executors consume per-edge values; realize the draw
-        # (identical mask — same hash of the same edge ids)
-        return executor(graph.materialized_dropout(), x)
+        # executors receive the graph with its lazy dropout fields intact:
+        # a lazily-dropped graph takes the grid-resident path (each device
+        # recomputes the identical mask locally from its constant edge-id
+        # grid — parallel/dropgrids.py), so no E-sized per-layer value
+        # routing ever reaches a distributed step; other cases the
+        # executor materializes itself
+        return executor(graph, x)
     impl = _SPMM_IMPL_VAR.get() or _SPMM_IMPL_DEFAULT
     if graph.dropped:
         from .stochastic import grids_eligible, stochastic_spmm

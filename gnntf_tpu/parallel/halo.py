@@ -242,6 +242,19 @@ def build_halo_partition(graph: Graph, n_parts: int, *, hub_fanout: int = 3,
         halo_size=s, hub_rows=hq)
 
 
+def _local_spmm_drop(x_local, vals, eids, salt, send, hub, rows, cols, *,
+                     nr, n_parts, s, hq, keep, n_drop):
+    """Grid-resident dropout variant: ``vals`` is the constant *base*
+    value grid; the realized mask is recomputed locally from the constant
+    edge-id grid and the (replicated, traced) salt — no E-sized value
+    scatter or routing anywhere in the step (parallel/dropgrids.py)."""
+    from ..ops.stochastic import dropped_values
+    vals = dropped_values(vals.reshape(-1), eids.reshape(-1), salt, keep,
+                          n_drop)
+    return _local_spmm(x_local, vals, send, hub, rows, cols, nr=nr,
+                       n_parts=n_parts, s=s, hq=hq)
+
+
 def _local_spmm(x_local, vals, send, hub, rows, cols, *, nr, n_parts, s, hq):
     # shard_map keeps rank: squeeze the sharded leading axis (size 1/device)
     f = x_local.shape[-1]
@@ -266,16 +279,43 @@ def _local_spmm(x_local, vals, send, hub, rows, cols, *, nr, n_parts, s, hq):
 
 
 def halo_spmm(part: HaloPartition, x: jax.Array, mesh: Mesh,
-              val: Optional[jax.Array] = None) -> jax.Array:
+              val: Optional[jax.Array] = None, *, val_grid=None,
+              eid_grid=None, drop=None) -> jax.Array:
     """``out = A @ X`` with X row-sharded over the mesh's edge axis.
 
     ``x`` is the full (possibly unpadded) feature matrix; it is padded to
     ``P * Nr`` rows, sharded, multiplied, and unpadded.  ``val`` — live
     per-edge values in the *original* edge order (traced values from
     dropout/renormalization are fine); defaults to the build-time values.
-    """
+
+    Grid-resident dropout path (``drop=(salt, keep, n_drop)`` with
+    ``val_grid``/``eid_grid`` from ``dropgrids.plan_value_grids``): no
+    per-edge values are routed at all — each device recomputes the
+    realized mask from its slice of the constant edge-id grid
+    (VERDICT r3 #2; ops/stochastic.py invariant)."""
     nr, np_, s, hq = (part.rows_per_part, part.n_parts, part.halo_size,
                       part.hub_rows)
+    pad = part.padded_nodes - x.shape[0]
+    if pad:
+        x = jnp.concatenate(
+            [x, jnp.zeros((pad, x.shape[1]), x.dtype)], axis=0)
+    xs = x.reshape(np_, nr, x.shape[1])
+
+    if drop is not None:
+        salt, keep, n_drop = drop
+        fn = jax.shard_map(
+            partial(_local_spmm_drop, nr=nr, n_parts=np_, s=s, hq=hq,
+                    keep=keep, n_drop=n_drop),
+            mesh=mesh,
+            in_specs=(P(EDGE_AXIS), P(EDGE_AXIS), P(EDGE_AXIS), P(),
+                      P(EDGE_AXIS), P(EDGE_AXIS), P(EDGE_AXIS),
+                      P(EDGE_AXIS)),
+            out_specs=P(EDGE_AXIS),
+        )
+        out = fn(xs, val_grid, eid_grid, salt, part.send_idx, part.hub_idx,
+                 part.rows, part.cols)
+        return out.reshape(part.padded_nodes, -1)[: part.n_nodes]
+
     if val is None:
         val = jnp.asarray(part.base_val)
     if val.shape[0] != part.n_edges:
@@ -286,12 +326,6 @@ def halo_spmm(part: HaloPartition, x: jax.Array, mesh: Mesh,
     grid = jnp.zeros((np_ * part.edges_per_part,), val.dtype)
     grid = grid.at[jnp.asarray(part.edge_slot)].set(val, unique_indices=True)
     vals = grid.reshape(np_, part.edges_per_part)
-
-    pad = part.padded_nodes - x.shape[0]
-    if pad:
-        x = jnp.concatenate(
-            [x, jnp.zeros((pad, x.shape[1]), x.dtype)], axis=0)
-    xs = x.reshape(np_, nr, x.shape[1])
 
     fn = jax.shard_map(
         partial(_local_spmm, nr=nr, n_parts=np_, s=s, hq=hq),
@@ -372,11 +406,23 @@ class HaloExecutor:
         return plan
 
     def __call__(self, graph: Graph, x: jax.Array) -> jax.Array:
-        if graph.scaled:  # dispatch normally peels scales; direct calls too
+        if graph.scaled or graph.eye_weight != 0.0:
+            # dispatch normally peels scales/eye; direct calls too
             from ..ops.spmm import _scaled_call
             return _scaled_call(self, graph, x)
         plan = self.partition_for(graph)
+        from .dropgrids import executor_drop_state
+        state = executor_drop_state(plan, graph, plan.rows.shape)
         if self.hierarchical:
             from .hier_halo import hier_halo_spmm
-            return hier_halo_spmm(plan, x, self.mesh, graph.val)
-        return halo_spmm(plan, x, self.mesh, graph.val)
+            if state is not None:
+                vg, eg, drop = state
+                return hier_halo_spmm(plan, x, self.mesh, val_grid=vg,
+                                      eid_grid=eg, drop=drop)
+            return hier_halo_spmm(plan, x, self.mesh,
+                                  graph.materialized_dropout().val)
+        if state is not None:
+            vg, eg, drop = state
+            return halo_spmm(plan, x, self.mesh, val_grid=vg, eid_grid=eg,
+                             drop=drop)
+        return halo_spmm(plan, x, self.mesh, graph.materialized_dropout().val)

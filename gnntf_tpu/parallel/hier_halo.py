@@ -261,6 +261,19 @@ def build_hier_halo_partition(graph: Graph, n_hosts: int, n_chips: int, *,
         rows_per_part=nr, s1=s1, s2=s2, s3=s3, hub_rows=hq)
 
 
+def _local_hier_drop(x_local, vals, eids, salt, send_intra, send_dcn, redis,
+                     hub, rows, cols, *, nr, H, C, s1, s2, s3, hq, keep,
+                     n_drop):
+    """Grid-resident dropout variant (see halo._local_spmm_drop): mask
+    recomputed locally per device from the constant edge-id grid."""
+    from ..ops.stochastic import dropped_values
+    vals = dropped_values(vals.reshape(-1), eids.reshape(-1), salt, keep,
+                          n_drop)
+    return _local_hier(x_local, vals, send_intra, send_dcn, redis, hub,
+                       rows, cols, nr=nr, H=H, C=C, s1=s1, s2=s2, s3=s3,
+                       hq=hq)
+
+
 def _local_hier(x_local, vals, send_intra, send_dcn, redis, hub, rows, cols,
                 *, nr, H, C, s1, s2, s3, hq):
     # shard_map keeps rank: squeeze the (1, 1) sharded leading axes
@@ -297,12 +310,37 @@ def _local_hier(x_local, vals, send_intra, send_dcn, redis, hub, rows, cols,
 
 
 def hier_halo_spmm(part: HierHaloPartition, x: jax.Array, mesh: Mesh,
-                   val: Optional[jax.Array] = None) -> jax.Array:
+                   val: Optional[jax.Array] = None, *, val_grid=None,
+                   eid_grid=None, drop=None) -> jax.Array:
     """``out = A @ X`` over a hierarchical ``(edge_host, edge[, feat])``
     mesh with the 3-phase ICI/DCN halo exchange (module docstring).
     ``val`` — live per-edge values in original edge order (traced values
-    fine); defaults to build-time values."""
+    fine); defaults to build-time values.  ``drop`` + ``val_grid``/
+    ``eid_grid`` select the grid-resident dropout path (no per-edge value
+    routing; see halo.halo_spmm)."""
     H, C, nr = part.n_hosts, part.n_chips, part.rows_per_part
+    pad = part.padded_nodes - x.shape[0]
+    if pad:
+        x = jnp.concatenate(
+            [x, jnp.zeros((pad, x.shape[1]), x.dtype)], axis=0)
+    xs = x.reshape(H, C, nr, x.shape[1])
+    spec = P(EDGE_HOST_AXIS, EDGE_AXIS)
+
+    if drop is not None:
+        salt, keep, n_drop = drop
+        fn = jax.shard_map(
+            partial(_local_hier_drop, nr=nr, H=H, C=C, s1=part.s1,
+                    s2=part.s2, s3=part.s3, hq=part.hub_rows, keep=keep,
+                    n_drop=n_drop),
+            mesh=mesh,
+            in_specs=(spec, spec, spec, P()) + (spec,) * 6,
+            out_specs=spec,
+        )
+        out = fn(xs, val_grid, eid_grid, salt, part.send_intra,
+                 part.send_dcn, part.redis, part.hub_idx, part.rows,
+                 part.cols)
+        return out.reshape(part.padded_nodes, -1)[: part.n_nodes]
+
     if val is None:
         val = jnp.asarray(part.base_val)
     if val.shape[0] != part.n_edges:
@@ -314,13 +352,6 @@ def hier_halo_spmm(part: HierHaloPartition, x: jax.Array, mesh: Mesh,
     grid = grid.at[jnp.asarray(part.edge_slot)].set(val, unique_indices=True)
     vals = grid.reshape(H, C, part.edges_per_part)
 
-    pad = part.padded_nodes - x.shape[0]
-    if pad:
-        x = jnp.concatenate(
-            [x, jnp.zeros((pad, x.shape[1]), x.dtype)], axis=0)
-    xs = x.reshape(H, C, nr, x.shape[1])
-
-    spec = P(EDGE_HOST_AXIS, EDGE_AXIS)
     fn = jax.shard_map(
         partial(_local_hier, nr=nr, H=H, C=C, s1=part.s1, s2=part.s2,
                 s3=part.s3, hq=part.hub_rows),

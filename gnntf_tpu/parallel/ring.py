@@ -115,6 +115,17 @@ def build_ring_partition(graph: Graph, n_parts: int) -> RingPartition:
         rows_per_part=nr)
 
 
+def _ring_local_drop(x_local, rows, cols, vals, eids, salt, *, nr, n_parts,
+                     keep, n_drop):
+    """Grid-resident dropout variant: the device's whole (P, Emax) value
+    grid is masked once from the constant edge-id grid before the ring
+    scan — no per-edge value routing (parallel/dropgrids.py)."""
+    from ..ops.stochastic import dropped_values
+    vals = dropped_values(vals.reshape(-1), eids.reshape(-1), salt, keep,
+                          n_drop).reshape(vals.shape)
+    return _ring_local(x_local, rows, cols, vals, nr=nr, n_parts=n_parts)
+
+
 def _ring_local(x_local, rows, cols, vals, *, nr, n_parts):
     # shard_map keeps rank: squeeze the sharded leading axis (size 1/device)
     x_local = x_local.reshape(nr, -1)
@@ -139,14 +150,36 @@ def _ring_local(x_local, rows, cols, vals, *, nr, n_parts):
 
 
 def ring_spmm(part: RingPartition, x: jax.Array, mesh: Mesh,
-              val=None) -> jax.Array:
+              val=None, *, val_grid=None, eid_grid=None,
+              drop=None) -> jax.Array:
     """``out = A @ X`` with X row-sharded over the mesh's edge axis and
     feature blocks rotated around the ring (one ``ppermute`` per step).
 
     ``val`` — live per-edge values in the original edge order (traced
     values from dropout/renormalization are fine); defaults to the
-    build-time values."""
+    build-time values.  ``drop`` + ``val_grid``/``eid_grid`` select the
+    grid-resident dropout path (no per-edge value routing; see
+    halo.halo_spmm)."""
     nr, n_parts = part.rows_per_part, part.n_parts
+    pad = part.padded_nodes - x.shape[0]
+    if pad:
+        x = jnp.concatenate(
+            [x, jnp.zeros((pad, x.shape[1]), x.dtype)], axis=0)
+    xs = x.reshape(n_parts, nr, x.shape[1])
+
+    if drop is not None:
+        salt, keep, n_drop = drop
+        fn = jax.shard_map(
+            partial(_ring_local_drop, nr=nr, n_parts=n_parts, keep=keep,
+                    n_drop=n_drop),
+            mesh=mesh,
+            in_specs=(P(EDGE_AXIS), P(EDGE_AXIS), P(EDGE_AXIS),
+                      P(EDGE_AXIS), P(EDGE_AXIS), P()),
+            out_specs=P(EDGE_AXIS),
+        )
+        out = fn(xs, part.rows, part.cols, val_grid, eid_grid, salt)
+        return out.reshape(part.padded_nodes, -1)[: part.n_nodes]
+
     if val is None:
         val = jnp.asarray(part.base_val)
     if val.shape[0] != part.n_edges:
@@ -156,12 +189,6 @@ def ring_spmm(part: RingPartition, x: jax.Array, mesh: Mesh,
     grid = jnp.zeros((n_parts * n_parts * part.edges_per_group,), val.dtype)
     grid = grid.at[jnp.asarray(part.edge_slot)].set(val, unique_indices=True)
     vals = grid.reshape(n_parts, n_parts, part.edges_per_group)
-
-    pad = part.padded_nodes - x.shape[0]
-    if pad:
-        x = jnp.concatenate(
-            [x, jnp.zeros((pad, x.shape[1]), x.dtype)], axis=0)
-    xs = x.reshape(n_parts, nr, x.shape[1])
 
     fn = jax.shard_map(
         partial(_ring_local, nr=nr, n_parts=n_parts),
@@ -217,8 +244,15 @@ class RingExecutor:
         return plan
 
     def __call__(self, graph: Graph, x: jax.Array) -> jax.Array:
-        if graph.scaled:  # dispatch normally peels scales; direct calls too
+        if graph.scaled or graph.eye_weight != 0.0:
+            # dispatch normally peels scales/eye; direct calls too
             from ..ops.spmm import _scaled_call
             return _scaled_call(self, graph, x)
         plan = self.partition_for(graph)
-        return ring_spmm(plan, x, self.mesh, graph.val)
+        from .dropgrids import executor_drop_state
+        state = executor_drop_state(plan, graph, plan.rows.shape)
+        if state is not None:
+            vg, eg, drop = state
+            return ring_spmm(plan, x, self.mesh, val_grid=vg, eid_grid=eg,
+                             drop=drop)
+        return ring_spmm(plan, x, self.mesh, graph.materialized_dropout().val)
