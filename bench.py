@@ -96,8 +96,15 @@ def bench_jax(src, dst):
 
     graph = from_edges(src, dst, n_nodes=N_NODES, directed=False)
     e_total = graph.n_edges
-    log(f"graph: {N_NODES} nodes, {e_total} symmetrized edges, "
-        f"device={jax.devices()[0]}")
+    # canonical metric pair (one perf story across README/performance.md/
+    # BENCH artifacts): counted edges/s — the reference's work definition,
+    # every stored entry incl. symmetrization duplicates — AND unique
+    # (row, col) pairs/s, the physical gather traffic after coalescing.
+    pairs = np.unique(np.stack([np.asarray(graph.row),
+                                np.asarray(graph.col)], 1), axis=0)
+    e_unique = int(pairs.shape[0])
+    log(f"graph: {N_NODES} nodes, {e_total} symmetrized edges "
+        f"({e_unique} unique pairs), device={jax.devices()[0]}")
 
     x0 = jnp.asarray(
         np.random.RandomState(1).randn(N_NODES, N_FEATURES), jnp.float32)
@@ -152,20 +159,24 @@ def bench_jax(src, dst):
         times.append(time.perf_counter() - t0)
     dt = min(times)
     edges_per_s = e_total * K_TIMED / dt
+    unique_edges_per_s = e_unique * K_TIMED / dt
     log(f"jax propagation: {dt*1000:.1f} ms / {K_TIMED} iters -> "
-        f"{edges_per_s/1e6:.1f} M edges/s")
-    # plausibility guard: edges/s above the single-chip HBM bound means the
-    # measurement (not the kernel) is wrong; flag loudly in the diagnostics.
-    # Bandwidth derived from the detected device kind (v5e is the chip this
-    # benchmark documents); unknown kinds use the conservative v5e figure.
+        f"{edges_per_s/1e6:.1f} M counted edges/s "
+        f"({unique_edges_per_s/1e6:.1f} M unique)")
+    # plausibility guard: above the single-chip HBM bound the measurement
+    # (not the kernel) is wrong; flag loudly in the diagnostics.  The
+    # guard uses UNIQUE pairs — the same denominator as performance.md's
+    # roofline section — since duplicate-coalesced entries never touch HBM
+    # (bandwidth by detected device kind; unknown kinds use the v5e figure).
     kind = getattr(jax.devices()[0], "device_kind", "").lower()
     hbm_bw = {"v4": 1.2e12, "v5p": 2.76e12, "v6e": 1.6e12}.get(
         next((k for k in ("v6e", "v5p", "v4") if k in kind), None), 8.19e11)
-    hbm_bound = hbm_bw / (N_FEATURES * 4 * 2)  # read+write per edge
-    if edges_per_s > hbm_bound:
-        log(f"WARNING: measured {edges_per_s:.3g} edges/s exceeds the "
-            f"HBM roofline bound {hbm_bound:.3g}; timing is not trustworthy")
-    return edges_per_s, e_total
+    hbm_bound = hbm_bw / (N_FEATURES * 4 * 2)  # read+write per unique edge
+    if unique_edges_per_s > hbm_bound:
+        log(f"WARNING: measured {unique_edges_per_s:.3g} unique-edges/s "
+            f"exceeds the HBM roofline bound {hbm_bound:.3g}; timing is "
+            f"not trustworthy")
+    return edges_per_s, e_total, unique_edges_per_s
 
 
 def bench_jax_train(src, dst):
@@ -327,11 +338,13 @@ def _child_main(phase: str):
     backend = getattr(dev, "platform", "unknown")
     kind = getattr(dev, "device_kind", backend)
     src, dst = build_graph()
+    result = {"backend": backend, "device_kind": kind}
     if phase == "prop":
-        eps, _ = bench_jax(src, dst)
+        eps, _, ueps = bench_jax(src, dst)
+        result["unique_edges_per_s"] = round(ueps)
     else:
         eps = bench_jax_train(src, dst)
-    result = {"edges_per_s": eps, "backend": backend, "device_kind": kind}
+    result["edges_per_s"] = eps
     print("CHILD_RESULT " + json.dumps(result), flush=True)
 
 
@@ -441,6 +454,11 @@ def main():
         "baseline_backend": "tf-cpu-measured" if tf_eps
         else "tf-cpu-recorded-2026-08-18",
     }
+    if prop.get("unique_edges_per_s"):
+        # counted edges (the reference's work definition) is the headline;
+        # unique (row, col) pairs/s is the physical-gather companion the
+        # roofline analysis uses (documentation/performance.md)
+        result["unique_edges_per_s"] = round(prop["unique_edges_per_s"])
     if train is not None:
         result["train_epoch_edges_per_s"] = round(train["edges_per_s"])
         result["train_backend"] = train["backend"]

@@ -35,6 +35,7 @@ import jax.numpy as jnp
 from gnntf_tpu.data.synthetic import random_power_law_edges
 from gnntf_tpu.graph import from_edges
 from gnntf_tpu.ops import normalize_adjacency
+from gnntf_tpu.ops.hoist import hoisting_jit
 from gnntf_tpu.ops.spmm import spmm
 from gnntf_tpu.utils import roofline
 
@@ -56,16 +57,18 @@ x = jnp.asarray(np.random.RandomState(1).randn(N, F), jnp.float32)
 
 
 # value routing prepared eagerly outside jit (fixed adjacency — the
-# inference shape); chained timed calls feed the previous output back in
-@partial(jax.jit, static_argnums=1)
-def chain(h, k):
-    return jax.lax.fori_loop(0, k, lambda i, h: prepared(h), h)
+# inference shape); chained timed calls feed the previous output back in.
+# hoisting_jit: the prepared routing state enters as parameters, not
+# multi-hundred-MB HLO literals (ops/hoist.py)
+@hoisting_jit
+def chain(h):
+    return jax.lax.fori_loop(0, K, lambda i, h: prepared(h), h)
 
 
-h = chain(x, K)
+h = chain(x)
 _ = float(jnp.sum(h))  # compile + warm
 t0 = time.perf_counter()
-h = chain(h, K)
+h = chain(h)
 _ = float(jnp.sum(h))
 per_iter = (time.perf_counter() - t0) / K
 
@@ -98,10 +101,12 @@ def train_epoch_report(per_spmm_s):
         "APPNP": lambda: gt.APPNP(g, feats, num_classes=n_classes,
                                   iterations=10),
         "GCN": lambda: gt.GCN(g, feats, num_classes=n_classes),
+        "GCNII-64": lambda: gt.GCNII(g, feats, num_classes=n_classes,
+                                     iterations=64),
         "GAT": lambda: gt.GAT(g, feats, num_classes=n_classes),
     }
     # propagation layers per epoch phase (train fwd / bwd dx / eval fwd)
-    spmm_layers = {"APPNP": 10, "GCN": 2, "GAT": 2}
+    spmm_layers = {"APPNP": 10, "GCN": 2, "GCNII-64": 64, "GAT": 2}
 
     print("\nfull train epoch (fwd+bwd+Adam+clean eval, reference "
           "trainable.py:63-84):")
@@ -124,7 +129,7 @@ def train_epoch_report(per_spmm_s):
 
         KE = 5
 
-        @jax.jit
+        @hoisting_jit
         def run(params, opt_state, rngs):
             (params, opt_state), (losses, vlosses) = jax.lax.scan(
                 epoch_body, (params, opt_state), rngs)

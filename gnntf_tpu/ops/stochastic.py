@@ -196,6 +196,23 @@ def _route(layout, arr: np.ndarray, fill) -> np.ndarray:
     return grid.reshape(layout.n_vrows, layout.k)
 
 
+def grid_value_dtype():
+    """Storage dtype for the value grids (``GNNTF_GRID_VALUE_DTYPE``,
+    default float32).  ``bfloat16`` halves the grids' HBM residency and
+    read traffic; for unweighted graphs (values 1.0 — the reference's
+    default ``graph2adj`` weights, and duplicates occupy separate slots
+    here) the representation is EXACT, so the masked-values product is
+    bit-identical after the upcast.  Weighted graphs lose value mantissa
+    bits — keep the default there.  Compute always upcasts to the
+    feature dtype (the cast fuses into the consumer)."""
+    import os
+    name = os.environ.get("GNNTF_GRID_VALUE_DTYPE", "float32")
+    if name in ("bf16", "bfloat16"):
+        import ml_dtypes
+        return np.dtype(ml_dtypes.bfloat16)
+    return np.dtype(np.float32)
+
+
 def build_train_grids(row: np.ndarray, col: np.ndarray, val,
                       n_nodes: int, k: int = _K) -> TrainGrids:
     """One-time host build: per-original-edge row and column ELL layouts
@@ -203,7 +220,7 @@ def build_train_grids(row: np.ndarray, col: np.ndarray, val,
     from .spmm import build_ell
     row = np.asarray(row, np.int64)
     col = np.asarray(col, np.int64)
-    val = np.asarray(val)
+    val = np.asarray(val).astype(grid_value_dtype())
     eids = np.arange(row.shape[0], dtype=np.uint32)
     rl = build_ell(row, col, n_nodes, k, dedup=False)
     cl = build_ell(col, row, n_nodes, k, dedup=False)
@@ -228,7 +245,8 @@ def train_grids(graph: Graph, k: int = _K) -> TrainGrids:
     anchors are kept in the cache entry.  Safe to call mid-trace —
     construction touches only concrete arrays, so it executes eagerly
     even inside jit."""
-    key = (id(graph.row), id(graph.col), id(graph.val), k)
+    key = (id(graph.row), id(graph.col), id(graph.val), k,
+           grid_value_dtype().name)
     anchors = (graph.row, graph.col, graph.val)
     grids = _GRIDS_CACHE.get(key, anchors)
     if grids is None:

@@ -253,3 +253,23 @@ def test_stacked_dropout_realizes_first_draw(big_graph):
     # an edge surviving both draws must have survived the first
     assert (kept <= first).all()
     assert abs(kept.mean() - 0.25) < 0.02
+
+
+def test_bf16_value_grids_exact_for_unit_values(big_graph, monkeypatch):
+    """GNNTF_GRID_VALUE_DTYPE=bfloat16 halves grid HBM; for unweighted
+    graphs (values 1.0, duplicates in separate slots) it is exact."""
+    key = jax.random.PRNGKey(11)
+    lazy = edge_dropout(big_graph, 0.5, key)
+    ref = np.asarray(spmm(lazy, jnp.ones((big_graph.n_nodes, 4),
+                                         jnp.float32)))
+    monkeypatch.setenv("GNNTF_GRID_VALUE_DTYPE", "bfloat16")
+    grids = stochastic.build_train_grids(
+        np.asarray(big_graph.row), np.asarray(big_graph.col),
+        np.asarray(big_graph.val), big_graph.n_nodes)
+    import ml_dtypes
+    assert grids.r_val.dtype == np.dtype(ml_dtypes.bfloat16)
+    rv = stochastic.masked_row_values(grids, lazy)
+    cv = stochastic.masked_col_values(grids, lazy)
+    out = np.asarray(grids.core(rv, cv, jnp.ones((big_graph.n_nodes, 4),
+                                                 jnp.float32)))
+    np.testing.assert_allclose(out, ref, rtol=1e-6)
