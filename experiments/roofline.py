@@ -40,6 +40,7 @@ from gnntf_tpu.ops.spmm import spmm
 from gnntf_tpu.utils import roofline
 
 TRAIN = "--train" in sys.argv
+REMAT = "--remat" in sys.argv  # layer-wise checkpointing (GCNII-64 HBM)
 args = [int(a) for a in sys.argv[1:] if not a.startswith("--")]
 N = args[0] if len(args) > 0 else 169_343
 E = args[1] if len(args) > 1 else 1_166_243
@@ -120,7 +121,7 @@ def train_epoch_report(per_spmm_s):
             params, opt_state = carry
             loss, grads = jax.value_and_grad(
                 lambda p: _total_loss(model, task, p, model.features, rng_e,
-                                      batch, 5e-4))(params)
+                                      batch, 5e-4, remat=REMAT))(params)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             acts = model.apply(params, model.features, training=False)

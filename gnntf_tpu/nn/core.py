@@ -247,17 +247,39 @@ class Network:
         return params
 
     def apply(self, params: Params, x: jax.Array, *, rng=None,
-              training: bool = False, return_ctx: bool = False, graph=None):
+              training: bool = False, return_ctx: bool = False, graph=None,
+              remat: bool = False):
         """Sequential forward fold (layered.py:52-55), trace-compatible.
 
         ``graph`` overrides the model-bound adjacency for this trace — used
         by the distributed path to feed a sharded (traced) Graph instead of
-        the closure-captured constant."""
+        the closure-captured constant.
+
+        ``remat=True`` wraps each layer in ``jax.checkpoint``: the
+        backward pass recomputes layer internals (SpMM partials, dropout
+        products) instead of storing them, trading FLOPs for HBM — the
+        enabler for deep stacks (GCNII-64 holds ~3 E-or-N-sized
+        intermediates per layer otherwise).  Cross-layer reads
+        (``value_of``) become checkpoint residuals automatically; layers
+        that emit ``add_loss`` side outputs are incompatible and raise."""
         fw = Forward(self, params, training, rng, graph=graph)
         h = x
         for i, layer in enumerate(self._layers):
             fw.begin_layer(i)
-            h = layer.apply(fw, h)
+            if remat:
+                n_losses = len(fw.extra_losses)
+
+                def run(h, _layer=layer):
+                    return _layer.apply(fw, h)
+
+                h = jax.checkpoint(run)(h)
+                if len(fw.extra_losses) != n_losses:
+                    raise ValueError(
+                        f"{type(layer).__name__} emits add_loss() side "
+                        "outputs, which cannot escape a remat scope — "
+                        "train with remat=False")
+            else:
+                h = layer.apply(fw, h)
             fw.acts.append(h)
         if return_ctx:
             return h, fw

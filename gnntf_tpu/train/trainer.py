@@ -143,7 +143,7 @@ class Trainable(Network):
               checkpoint_dir: Optional[str] = None,
               checkpoint_every: int = 25, resume: bool = False, mesh=None,
               spmm: Optional[str] = None, spmm_impl: Optional[str] = None,
-              init_params=None):
+              init_params=None, remat: bool = False):
         return fit(self, train, valid=valid, test=test, patience=patience,
                    learning_rate=learning_rate, regularization=regularization,
                    verbose=verbose, epochs=epochs, degradation=degradation,
@@ -152,13 +152,13 @@ class Trainable(Network):
                    checkpoint_dir=checkpoint_dir,
                    checkpoint_every=checkpoint_every, resume=resume,
                    mesh=mesh, spmm=spmm, spmm_impl=spmm_impl,
-                   init_params=init_params)
+                   init_params=init_params, remat=remat)
 
 
 def _total_loss(model: Trainable, task: Predictor, params: Params, features,
-                rng, batch, regularization: float):
+                rng, batch, regularization: float, remat: bool = False):
     out, fw = model.apply(params, features, rng=rng, training=True,
-                          return_ctx=True)
+                          return_ctx=True, remat=remat)
     loss = task.loss(out, batch, params=params)
     loss = loss + model.layer_losses(fw)
     loss = loss + regularization * model.weight_l2(params)
@@ -174,9 +174,14 @@ def fit(model: Trainable, train: Predictor, valid: Optional[Predictor] = None,
         block_epochs: int = 1, callbacks=(),
         checkpoint_dir: Optional[str] = None, checkpoint_every: int = 25,
         resume: bool = False, mesh=None, spmm: Optional[str] = None,
-        spmm_impl: Optional[str] = None, init_params=None):
+        spmm_impl: Optional[str] = None, init_params=None,
+        remat: bool = False):
     """Train ``model`` in place; leaves best-validation params on
     ``model.params`` and returns a history dict.
+
+    ``remat=True`` checkpoints each layer in the training forward
+    (backward recomputes layer internals instead of storing them) —
+    required for deep stacks like GCNII-64 at large graph scale.
 
     With ``checkpoint_dir`` the full early-stopping state (params,
     optimizer state, best params, epoch/patience/best-loss) is persisted
@@ -240,7 +245,8 @@ def fit(model: Trainable, train: Predictor, valid: Optional[Predictor] = None,
         def train_step_raw(params, opt_state, rng, deg, batch):
             loss, grads = jax.value_and_grad(
                 lambda p: _total_loss(model, train, p, model.features, rng,
-                                      batch, regularization))(params)
+                                      batch, regularization,
+                                      remat=remat))(params)
             # gradient of loss * degradation(epoch) (trainable.py:78); frozen
             # params receive identically-zero gradients so their Adam moments
             # stay zero and they never move (reference trains only the

@@ -171,3 +171,54 @@ def test_block_epochs_callback_best_loss(small_dataset):
         return [round(r["best_loss"], 5) for r in log.records]
 
     assert run(1) == run(4)
+
+
+class TestRemat:
+    """Layer-wise rematerialization (fit(remat=True)): identical math,
+    lower memory — the enabler for GCNII-64 at large scale."""
+
+    def _setup(self):
+        from gnntf_tpu.data import synthetic_planetoid
+        import gnntf_tpu as gt
+        G, labels, features, train, valid, test = synthetic_planetoid(
+            n_nodes=150, n_classes=3, n_features=16, avg_degree=6.0,
+            seed=13)
+        adj = gt.graph2adj(G)
+        task = gt.NodeClassification(train, labels[train])
+        return gt, adj, features, task
+
+    def test_remat_matches_plain_trajectory(self):
+        gt, adj, features, task = self._setup()
+
+        def make():
+            return gt.GCNII(adj, features, num_classes=3, iterations=6)
+
+        plain = make()
+        plain.reset(0)
+        init = dict(plain.params)
+        h0 = plain.train(train=task, epochs=5, patience=10, seed=0,
+                         init_params=init)
+        rem = make()
+        h1 = rem.train(train=task, epochs=5, patience=10, seed=0,
+                       init_params=dict(init), remat=True)
+        np.testing.assert_allclose(h1["train_loss"], h0["train_loss"],
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(h1["valid_loss"], h0["valid_loss"],
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_remat_rejects_add_loss_layers(self):
+        gt, adj, features, task = self._setup()
+        from gnntf_tpu.models.experimental import FastReg
+        from gnntf_tpu.nn.layers import Dense
+
+        class RegModel(gt.GNN):
+            def __init__(self, graph, feats, num_classes):
+                super().__init__(graph, feats)
+                self.add(Dense(8))
+                self.add(FastReg())
+                self.add(Dense(num_classes, regularize=False))
+
+        model = RegModel(adj, features, 3)
+        with pytest.raises(ValueError, match="add_loss"):
+            model.train(train=task, epochs=2, patience=5, seed=0,
+                        remat=True)
