@@ -50,13 +50,16 @@ def auc(labels, predictions):
 
 
 def avprec(labels, predictions, k: int = 5):
+    """Average precision @k with the reference's own normalization: the
+    label-weighted reciprocal-rank sum over the top-k, divided by the sum
+    of labels *in the top-k* (not min(k, positives) — that quirk IS the
+    spec, reference measures.py:27)."""
     labels = np.asarray(labels)
     predictions = np.asarray(predictions)
-    top = np.argsort(predictions)[-k:]
-    nom = 0.0
-    for pos, i in enumerate(reversed(top)):
-        nom += labels[i] / (pos + 1)
-    return 0 if nom == 0 else nom / np.sum(labels[top])
+    top_desc = np.argsort(predictions)[-k:][::-1]
+    hits = labels[top_desc].astype(np.float64)
+    nom = float(np.sum(hits / (np.arange(hits.shape[0]) + 1.0)))
+    return 0 if nom == 0 else nom / np.sum(hits)
 
 
 def rec(labels, predictions, k: int = 5):
