@@ -73,12 +73,21 @@ h = chain(h)
 _ = float(jnp.sum(h))
 per_iter = (time.perf_counter() - t0) / K
 
-r = roofline(g.n_edges, F, per_iter)
+# canonical metric pair (documentation/performance.md): counted edges/s
+# is the headline; the HBM bound is per UNIQUE pair (coalesced duplicates
+# never touch HBM)
+_pairs = np.unique(np.stack([np.asarray(g.row), np.asarray(g.col)], 1),
+                   axis=0)
+e_unique = int(_pairs.shape[0])
+r = roofline(e_unique, F, per_iter)
 print(f"device: {jax.devices()[0]}")
-print(f"graph: {N} nodes, {g.n_edges} edges, F={F}")
-print(f"SpMM: {per_iter*1e3:.2f} ms/iter, {r['edges_per_s']/1e6:.1f} M edges/s")
-print(f"traffic model: {r['bytes_moved']/1e9:.2f} GB -> bound "
-      f"{r['bound_s']*1e3:.2f} ms")
+print(f"graph: {N} nodes, {g.n_edges} counted edges "
+      f"({e_unique} unique pairs), F={F}")
+print(f"SpMM: {per_iter*1e3:.2f} ms/iter, "
+      f"{g.n_edges/per_iter/1e6:.1f} M counted edges/s "
+      f"({r['edges_per_s']/1e6:.1f} M unique)")
+print(f"traffic model (unique-pair reads): {r['bytes_moved']/1e9:.2f} GB "
+      f"-> bound {r['bound_s']*1e3:.2f} ms")
 print(f"roofline fraction: {r['achieved_fraction']*100:.1f}%")
 
 
@@ -108,6 +117,10 @@ def train_epoch_report(per_spmm_s):
     }
     # propagation layers per epoch phase (train fwd / bwd dx / eval fwd)
     spmm_layers = {"APPNP": 10, "GCN": 2, "GCNII-64": 64, "GAT": 2}
+    only = os.environ.get("GNNTF_ROOFLINE_MODELS")
+    if only:
+        keep = {m.strip() for m in only.split(",")}
+        models = {k: v for k, v in models.items() if k in keep}
 
     print("\nfull train epoch (fwd+bwd+Adam+clean eval, reference "
           "trainable.py:63-84):")
