@@ -90,20 +90,25 @@ def main():
             return out + jnp.dot(dense, h[hub_ids],
                                  preferred_element_type=h.dtype)
 
-        @partial(jax.jit, static_argnums=1)
-        def prop(h0, k, one=one):
+        # hoisting_jit: the (N, H) dense slice enters as a parameter — at
+        # H=512 it is 347 MB, which as an HLO literal exceeded the remote
+        # compile payload limit (the r3 sweep's blocker; ops/hoist.py)
+        from gnntf_tpu.ops.hoist import hoisting_jit
+
+        @hoisting_jit
+        def prop(h0, one=one):
             def body(_, h):
                 return 0.9 * one(h) + 0.1 * h0
-            return jax.lax.fori_loop(0, k, body, h0)
+            return jax.lax.fori_loop(0, ITERS, body, h0)
 
         t0 = time.perf_counter()
-        _ = float(jnp.sum(prop(x0, ITERS)))
+        _ = float(jnp.sum(prop(x0)))
         log(f"H={H}: compile+first {time.perf_counter()-t0:.1f}s")
         times = []
         h = x0
         for _ in range(3):
             t0 = time.perf_counter()
-            h = prop(h, ITERS)
+            h = prop(h)
             _ = float(jnp.sum(h))
             times.append(time.perf_counter() - t0)
         dt = min(times)
