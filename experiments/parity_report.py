@@ -1,11 +1,11 @@
-"""Generate PARITY_r03.md: measured training-trajectory + accuracy parity
+"""Generate PARITY_r04.md (regenerated per round): measured training-trajectory + accuracy parity
 between this framework and the live TF reference (/root/reference).
 
 Run:  PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python experiments/parity_report.py
 
 The comparisons mirror tests/test_parity.py's trajectory suite but on a
 larger graph / longer horizon and write the measured numbers to a committed
-artifact (VERDICT r1 item 1: "a committed PARITY_r03.md artifact ... Done =
+artifact (VERDICT r1 item 1: "a committed PARITY_r04.md artifact ... Done =
 test green in CI + artifact with numbers").
 """
 import os
@@ -172,7 +172,7 @@ def main():
         our_accs.append(float(np.mean(p == labels[test_idx])))
 
     lines = []
-    lines.append("# PARITY_r03 — measured training parity vs the TF reference")
+    lines.append("# PARITY_r04 — measured training parity vs the TF reference")
     lines.append("")
     lines.append("Generated by `experiments/parity_report.py` (CPU backend, "
                  "reference imported live from `/root/reference`).")
@@ -221,7 +221,7 @@ def main():
     lines.append("")
     out = "\n".join(lines) + "\n"
     path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "PARITY_r03.md")
+        os.path.abspath(__file__))), "PARITY_r04.md")
     with open(path, "w") as f:
         f.write(out)
     print(out)
