@@ -126,26 +126,28 @@ def main():
     loss_fn = lambda p, r: _total_loss(model, task, p, model.features, r,
                                        batch, 5e-4)
 
-    @jax.jit
+    from gnntf_tpu.ops.hoist import hoisting_jit
+
+    @hoisting_jit
     def fwd(p, r):
         return loss_fn(p, r)
 
-    @jax.jit
+    @hoisting_jit
     def fwd_bwd(p, r):
         return jax.value_and_grad(loss_fn)(p, r)
 
-    @jax.jit
+    @hoisting_jit
     def step(p, s, r):
         loss, grads = jax.value_and_grad(loss_fn)(p, r)
         updates, s = tx.update(grads, s, p)
         return optax.apply_updates(p, updates), s, loss
 
-    @jax.jit
+    @hoisting_jit
     def evalf(p):
         acts = model.apply(p, model.features, training=False)
         return task.loss(acts, batch, params=p)
 
-    @jax.jit
+    @hoisting_jit
     def epoch(p, s, r):
         loss, grads = jax.value_and_grad(loss_fn)(p, r)
         updates, s = tx.update(grads, s, p)
@@ -172,8 +174,8 @@ def main():
 
 
 def partial_jit(fn):
-    import jax
-    return jax.jit(fn)
+    from gnntf_tpu.ops.hoist import hoisting_jit
+    return hoisting_jit(fn)
 
 
 if __name__ == "__main__":
