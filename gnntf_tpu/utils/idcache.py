@@ -53,15 +53,33 @@ def sizeof(obj) -> int:
 
 class Budget:
     """Shared byte budget across caches (all layout caches draw from one
-    pool, so the cap bounds total HBM+host pinned by layouts)."""
+    pool, so the cap bounds total HBM+host pinned by layouts).  Member
+    caches register themselves so over-budget evictions can reach beyond
+    the cache currently being written."""
 
     def __init__(self, cap_bytes: Optional[int] = None):
         self._cap = cap_bytes
         self.used = 0
+        self.caches = []
 
     @property
     def cap(self) -> int:
         return self._cap if self._cap is not None else _default_cap_bytes()
+
+    def evict_to_cap(self, protect: "IdLRU" = None) -> None:
+        """Drop least-recently-used entries from the *other* member caches
+        (oldest-cache-entry first, round-robin) until within cap; the
+        cache being written evicts its own entries first."""
+        cap = self.cap
+        for cache in self.caches:
+            if cache is protect:
+                continue
+            while self.used > cap and len(cache) > 0:
+                cache._pop_oldest()
+
+    def clear_all(self) -> None:
+        for cache in self.caches:
+            cache.clear()
 
 
 GLOBAL_BUDGET = Budget()
@@ -80,6 +98,7 @@ class IdLRU:
     def __init__(self, budget: Budget = GLOBAL_BUDGET):
         self._budget = budget
         self._data: OrderedDict = OrderedDict()
+        budget.caches.append(self)
 
     def get(self, key, anchors: Tuple) -> Any:
         hit = self._data.get(key)
@@ -102,11 +121,18 @@ class IdLRU:
         self._budget.used += nbytes
         self._evict()
 
+    def _pop_oldest(self) -> None:
+        _, (_, _, nbytes) = self._data.popitem(last=False)
+        self._budget.used -= nbytes
+
     def _evict(self) -> None:
         cap = self._budget.cap
         while self._budget.used > cap and len(self._data) > 1:
-            _, (_, _, nbytes) = self._data.popitem(last=False)
-            self._budget.used -= nbytes
+            self._pop_oldest()
+        if self._budget.used > cap:
+            # still over: entries pinned by sibling caches — evict there
+            # (keeps the single entry this cache is actively serving)
+            self._budget.evict_to_cap(protect=self)
 
     def __len__(self) -> int:
         return len(self._data)

@@ -209,3 +209,31 @@ def test_grids_cache_distinguishes_col(monkeypatch):
     k2 = stochastic.train_grids(g2)
     assert k1 is not k2
     assert not np.array_equal(k1.r_idx, k2.r_idx)
+
+
+def test_layout_cache_budget_bounds_deep_stack(monkeypatch):
+    """VERDICT r3 #7: GCNII-64-class workloads must not pin unbounded
+    layout bytes — the shared budget cap holds under a deep stack over a
+    MIN_EDGES-exceeding graph, and multi-graph churn evicts."""
+    from gnntf_tpu.ops import stochastic
+    from gnntf_tpu.utils import idcache
+
+    monkeypatch.setattr(stochastic, "MIN_EDGES", 8)
+    monkeypatch.setenv("GNNTF_LAYOUT_CACHE_MB", "8")  # tiny cap
+    graph = _random_graph(n_nodes=2000, n_edges=40_000, seed=8)
+    feats = np.random.RandomState(9).randn(2000, 8).astype(np.float32)
+    model = gt.GCNII(graph, feats, num_classes=3, iterations=16)
+    task = gt.NodeClassification(np.arange(100), np.zeros(100, np.int64))
+    hist = model.train(task, epochs=2, patience=5, seed=0)
+    assert np.isfinite(hist["train_loss"][-1])
+    cap = idcache.GLOBAL_BUDGET.cap
+    assert idcache.GLOBAL_BUDGET.used <= max(cap, 1), \
+        (idcache.GLOBAL_BUDGET.used, cap)
+    # multi-graph churn: new structures evict old entries, budget holds
+    for seed in range(3):
+        g = _random_graph(n_nodes=1500, n_edges=30_000, seed=20 + seed)
+        x = jnp.asarray(np.random.RandomState(seed).randn(1500, 8),
+                        jnp.float32)
+        adj = normalize_adjacency(g, graph_dropout=0.0)
+        _ = spmm(adj, x)
+    assert idcache.GLOBAL_BUDGET.used <= max(cap, 1)
