@@ -233,16 +233,18 @@ def add_self_loops(graph: Graph, weight: float = 1.0) -> Graph:
     if graph.scaled:
         return dataclasses.replace(graph,
                                    eye_weight=graph.eye_weight + weight)
-    concrete = (not isinstance(graph.row, jax.core.Tracer)
-                and not isinstance(graph.val, jax.core.Tracer))
+    concrete = not any(isinstance(a, jax.core.Tracer)
+                       for a in (graph.row, graph.col, graph.val))
     if not concrete:
         return _append_eye(graph, weight)
     global _EYE_CACHE
     if _EYE_CACHE is None:
         from ..utils.idcache import IdLRU
         _EYE_CACHE = IdLRU()
+    # n_nodes is part of the key: a graph sharing edge arrays but sized
+    # differently (padded/grown node set) must not reuse the extension
     key = ("eye", id(graph.row), id(graph.col), id(graph.val),
-           float(weight), graph.num_self_loop)
+           float(weight), graph.num_self_loop, graph.n_nodes)
     anchors = (graph.row, graph.col, graph.val)
     ext = _EYE_CACHE.get(key, anchors)
     if ext is None:

@@ -44,7 +44,7 @@ def _ell_nodedup_layout(graph: Graph):
     global _ATTN_CACHE
     if _ATTN_CACHE is None:
         _ATTN_CACHE = IdLRU()
-    key = ("attn-ell", id(graph.row), id(graph.col))
+    key = ("attn-ell", id(graph.row), id(graph.col), graph.n_nodes)
     anchors = (graph.row, graph.col)
     layout = _ATTN_CACHE.get(key, anchors)
     if layout is None:

@@ -116,15 +116,15 @@ def normalize_adjacency(
     deterministic = rng is None or graph_dropout == 0.0
     cacheable = (deterministic and not graph.scaled and not graph.dropped
                  and graph.eye_weight == 0.0
-                 and not isinstance(graph.row, jax.core.Tracer)
-                 and not isinstance(graph.val, jax.core.Tracer))
+                 and not any(isinstance(a, jax.core.Tracer)
+                             for a in (graph.row, graph.col, graph.val)))
     if cacheable:
         global _NORM_CACHE
         if _NORM_CACHE is None:
             from ..utils.idcache import IdLRU
             _NORM_CACHE = IdLRU()
         key = ("norm", id(graph.row), id(graph.col), id(graph.val),
-               normalized, add_eye)
+               graph.n_nodes, normalized, add_eye)
         anchors = (graph.row, graph.col, graph.val)
         hit = _NORM_CACHE.get(key, anchors)
         if hit is not None:

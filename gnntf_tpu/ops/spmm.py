@@ -318,7 +318,7 @@ _ELL_CACHE = IdLRU()  # byte-bounded with anchor-identity re-check
 
 
 def _ell_layout(graph: Graph, k: int) -> ELLLayout:
-    key = ("ell", id(graph.row), id(graph.col), k)
+    key = ("ell", id(graph.row), id(graph.col), graph.n_nodes, k)
     anchors = (graph.row, graph.col)
     layout = _ELL_CACHE.get(key, anchors)
     if layout is None:
@@ -492,7 +492,7 @@ _NO_HUBS = "no-hubs"  # sentinel: hybrid build declined, use plain ELL
 
 
 def _hybrid_layout(graph: Graph, k: int):
-    key = ("hybrid", id(graph.row), id(graph.col), k)
+    key = ("hybrid", id(graph.row), id(graph.col), graph.n_nodes, k)
     anchors = (graph.row, graph.col)
     hit = _HYBRID_CACHE.get(key, anchors)
     if hit is None:
@@ -540,7 +540,8 @@ def spmm_hybrid(graph: Graph, x: jax.Array,
 
 
 def _structure_is_concrete(graph: Graph) -> bool:
-    return not isinstance(graph.row, jax.core.Tracer)
+    return not (isinstance(graph.row, jax.core.Tracer)
+                or isinstance(graph.col, jax.core.Tracer))
 
 
 class PreparedSpMM:
@@ -647,7 +648,7 @@ def _prepared_cached(graph: Graph, k: int) -> PreparedSpMM:
     (evaluation / inference inside a jitted step).  The eager one-time
     build runs during the first trace; later traces and the hoisting
     replay hit the cache and see only parameter-fed arrays."""
-    key = ("prep", id(graph.row), id(graph.col), id(graph.val), k)
+    key = ("prep", id(graph.row), id(graph.col), id(graph.val), graph.n_nodes, k)
     anchors = (graph.row, graph.col, graph.val)
     prep = _PREPARED_CACHE.get(key, anchors)
     if prep is None:
@@ -680,12 +681,16 @@ def spmm(graph: Graph, x: jax.Array) -> jax.Array:
         return out
     executor = _SPMM_EXECUTOR_VAR.get()
     if executor is not None:
-        # executors receive the graph with its lazy dropout fields intact:
-        # a lazily-dropped graph takes the grid-resident path (each device
-        # recomputes the identical mask locally from its constant edge-id
-        # grid — parallel/dropgrids.py), so no E-sized per-layer value
-        # routing ever reaches a distributed step; other cases the
-        # executor materializes itself
+        # lazy-aware executors (supports_lazy_dropout) receive the graph
+        # with its dropout fields intact and take the grid-resident path
+        # (each device recomputes the identical mask locally from its
+        # constant edge-id grid — parallel/dropgrids.py), so no E-sized
+        # per-layer value routing reaches the distributed step.  Executors
+        # registered against the original contract (per-edge values in
+        # graph.val) still get the realized draw.
+        if graph.dropped and not getattr(executor, "supports_lazy_dropout",
+                                         False):
+            graph = graph.materialized_dropout()
         return executor(graph, x)
     impl = _SPMM_IMPL_VAR.get() or _SPMM_IMPL_DEFAULT
     if graph.dropped:

@@ -245,8 +245,8 @@ def train_grids(graph: Graph, k: int = _K) -> TrainGrids:
     anchors are kept in the cache entry.  Safe to call mid-trace —
     construction touches only concrete arrays, so it executes eagerly
     even inside jit."""
-    key = (id(graph.row), id(graph.col), id(graph.val), k,
-           grid_value_dtype().name)
+    key = (id(graph.row), id(graph.col), id(graph.val), graph.n_nodes,
+           k, grid_value_dtype().name)
     anchors = (graph.row, graph.col, graph.val)
     grids = _GRIDS_CACHE.get(key, anchors)
     if grids is None:
@@ -262,8 +262,8 @@ def grids_eligible(graph: Graph) -> bool:
     close over their graph; distributed/sharded graphs are traced and
     fall back) and enough edges to amortize the constants."""
     return (graph.n_edges >= MIN_EDGES
-            and not isinstance(graph.row, jax.core.Tracer)
-            and not isinstance(graph.val, jax.core.Tracer))
+            and not any(isinstance(a, jax.core.Tracer)
+                        for a in (graph.row, graph.col, graph.val)))
 
 
 def masked_row_values(grids: TrainGrids, graph: Graph) -> jax.Array:

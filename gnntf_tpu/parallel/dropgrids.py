@@ -66,8 +66,9 @@ def executor_drop_state(plan, graph: Graph, shape):
     """The executor-facing entry: returns ``(val_grid, eid_grid,
     (salt, keep, n_drop))`` when ``graph`` is lazily dropped with concrete
     base values (the grid-resident fast path applies), else ``None``."""
-    if not graph.dropped or isinstance(graph.val, jax.core.Tracer) \
-            or isinstance(graph.row, jax.core.Tracer):
+    if not graph.dropped or any(
+            isinstance(a, jax.core.Tracer)
+            for a in (graph.row, graph.col, graph.val)):
         return None
     vg, eg = plan_value_grids(plan, graph, shape)
     return vg, eg, (graph.drop_salt, graph.drop_keep, graph.drop_n)

@@ -362,6 +362,9 @@ class HaloExecutor:
     """
 
     _CACHE_MAX = 16
+    # dispatcher contract: this executor understands Graph.drop_* fields
+    # and applies the identical counter-based mask device-locally
+    supports_lazy_dropout = True
 
     def __init__(self, mesh: Mesh, n_parts: Optional[int] = None, **build_kw):
         from .multihost import EDGE_HOST_AXIS
@@ -378,11 +381,11 @@ class HaloExecutor:
         self._plans: OrderedDict = OrderedDict()
 
     def partition_for(self, graph: Graph):
-        key = id(graph.row)
+        key = (id(graph.row), id(graph.col), graph.n_nodes)
         hit = self._plans.get(key)
-        if hit is not None and hit[0] is graph.row:
+        if hit is not None and hit[0] is graph.row and hit[1] is graph.col:
             self._plans.move_to_end(key)
-            return hit[1]
+            return hit[2]
         if isinstance(graph.row, jax.core.Tracer):
             raise TypeError(
                 "HaloExecutor needs a concrete edge structure; the graph "
@@ -400,7 +403,7 @@ class HaloExecutor:
         else:
             plan = build_halo_partition(structure, self.n_parts,
                                         **self.build_kw)
-        self._plans[key] = (graph.row, plan)
+        self._plans[key] = (graph.row, graph.col, plan)
         while len(self._plans) > self._CACHE_MAX:
             self._plans.popitem(last=False)
         return plan

@@ -214,6 +214,7 @@ class RingExecutor:
     scatter."""
 
     _CACHE_MAX = 16
+    supports_lazy_dropout = True  # see HaloExecutor / ops.spmm dispatcher
 
     def __init__(self, mesh: Mesh, n_parts: Optional[int] = None):
         self.mesh = mesh
@@ -222,11 +223,11 @@ class RingExecutor:
         self._plans: OrderedDict = OrderedDict()
 
     def partition_for(self, graph: Graph) -> RingPartition:
-        key = id(graph.row)
+        key = (id(graph.row), id(graph.col), graph.n_nodes)
         hit = self._plans.get(key)
-        if hit is not None and hit[0] is graph.row:
+        if hit is not None and hit[0] is graph.row and hit[1] is graph.col:
             self._plans.move_to_end(key)
-            return hit[1]
+            return hit[2]
         if isinstance(graph.row, jax.core.Tracer):
             raise TypeError(
                 "RingExecutor needs a concrete edge structure; the graph "
@@ -238,7 +239,7 @@ class RingExecutor:
             num_self_loop=graph.num_self_loop,
             sorted_by_row=graph.sorted_by_row)
         plan = build_ring_partition(structure, self.n_parts)
-        self._plans[key] = (graph.row, plan)
+        self._plans[key] = (graph.row, graph.col, plan)
         while len(self._plans) > self._CACHE_MAX:
             self._plans.popitem(last=False)
         return plan

@@ -74,7 +74,10 @@ class Budget:
         for cache in self.caches:
             if cache is protect:
                 continue
-            while self.used > cap and len(cache) > 0:
+            # keep each sibling's most-recently-used entry: draining a
+            # cache to zero makes alternating workloads rebuild expensive
+            # state (prepared SpMM, grids) every step
+            while self.used > cap and len(cache) > 1:
                 cache._pop_oldest()
 
     def clear_all(self) -> None:
@@ -141,12 +144,3 @@ class IdLRU:
         for _, _, nbytes in self._data.values():
             self._budget.used -= nbytes
         self._data.clear()
-
-
-def cached(cache: IdLRU, key, anchors: Tuple, build: Callable[[], Any]):
-    """``cache.get`` or build-and-``put`` in one call."""
-    value = cache.get(key, anchors)
-    if value is None:
-        value = build()
-        cache.put(key, anchors, value)
-    return value

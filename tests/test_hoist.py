@@ -237,3 +237,54 @@ def test_layout_cache_budget_bounds_deep_stack(monkeypatch):
         adj = normalize_adjacency(g, graph_dropout=0.0)
         _ = spmm(adj, x)
     assert idcache.GLOBAL_BUDGET.used <= max(cap, 1)
+
+
+def test_identity_caches_distinguish_n_nodes():
+    """Review r4: a graph sharing edge arrays but sized differently
+    (padded/grown node set) must not reuse another size's cached
+    normalization, self-loop extension, or layout."""
+    from gnntf_tpu.graph.coo import add_self_loops
+
+    g3 = from_edges([0, 1, 2], [1, 2, 0], n_nodes=3, directed=False)
+    g5 = dataclasses.replace(g3, n_nodes=5)
+
+    e3 = add_self_loops(g3)
+    e5 = add_self_loops(g5)
+    assert e3.n_nodes == 3 and e3.n_edges == 6 + 3
+    assert e5.n_nodes == 5 and e5.n_edges == 6 + 5
+
+    n3 = normalize_adjacency(g3, graph_dropout=0.0)
+    n5 = normalize_adjacency(g5, graph_dropout=0.0)
+    assert n3.row_scale.shape == (3,)
+    assert n5.row_scale.shape == (5,)
+
+    x5 = jnp.ones((5, 4), jnp.float32)
+    assert spmm(n5, x5).shape == (5, 4)
+
+
+def test_legacy_executor_still_gets_materialized_values(monkeypatch):
+    """Review r4: executors registered via the public hook without
+    opting into lazy dropout must keep receiving realized per-edge
+    values (the original contract)."""
+    from gnntf_tpu.ops import stochastic
+    from gnntf_tpu.ops.normalize import edge_dropout
+    from gnntf_tpu.ops.spmm import spmm_executor
+
+    monkeypatch.setattr(stochastic, "MIN_EDGES", 8)
+    g = _random_graph(n_nodes=50, n_edges=300, seed=12)
+    lazy = edge_dropout(g, 0.5, jax.random.PRNGKey(3))
+    assert lazy.dropped
+
+    seen = {}
+
+    def legacy_executor(graph, x):
+        seen["dropped"] = graph.dropped
+        seen["val"] = graph.val
+        return x
+
+    x = jnp.ones((50, 4), jnp.float32)
+    with spmm_executor(legacy_executor):
+        spmm(lazy, x)
+    assert seen["dropped"] is False  # realized draw, not lazy fields
+    expect = stochastic.materialize_dropped(lazy)
+    np.testing.assert_allclose(np.asarray(seen["val"]), np.asarray(expect))
