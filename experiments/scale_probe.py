@@ -1,0 +1,282 @@
+"""Scale-dependence probe for the prepared SpMM (VERDICT r4 item 1).
+
+r4 finding (documentation/performance.md "Scale dependence"): per-slot
+cost of the prepared propagation loop grows ~3x when N doubles, while the
+identical gather in isolation is N-flat.  The loop-carried (N, F)
+feedback buffer is the remaining suspect.  This probe measures structural
+variants of the SAME math to find which ingredient carries the
+degradation:
+
+* ``prepared``   — the production PreparedSpMM chain (baseline):
+                   per-iteration concat-pad + gather/k-reduce/combine +
+                   hub matmul, fori_loop feedback.
+* ``padded``     — carry the (N+1, F) padded buffer through the loop and
+                   segment-sum straight into N+1 rows: removes the
+                   per-iteration (N, F) concatenate copy.
+* ``unrolled``   — same math, K iterations python-unrolled inside one jit
+                   (no lax.fori_loop): discriminates loop-carry buffer
+                   aliasing from pure data feedback.
+* ``pingpong``   — fori_loop with a two-buffer carry (write b from a,
+                   swap): gather source and combine destination are
+                   provably distinct buffers.
+* ``nofeedback`` — the gather source is the constant x0 every iteration
+                   (matches the r4 isolation experiments; should be fast
+                   and N-flat — the control).
+* ``gather``     — pure gather control (no multiply/reduce/combine).
+
+Usage:  python experiments/scale_probe.py VARIANT [N E F K]
+Prints one stdout line:
+  PROBE variant=<v> n=<N> e=<E> slots=<S> ms=<t> ns_per_slot=<x>
+Diagnostics to stderr.  Run each (variant, size) in a fresh process under
+``timeout`` — remote-compile wedges must not chain.
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    variant = sys.argv[1] if len(sys.argv) > 1 else "prepared"
+    N = int(sys.argv[2]) if len(sys.argv) > 2 else 169_343
+    E = int(sys.argv[3]) if len(sys.argv) > 3 else 1_166_243
+    F = int(sys.argv[4]) if len(sys.argv) > 4 else 128
+    K = int(sys.argv[5]) if len(sys.argv) > 5 else 50
+
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    from gnntf_tpu.data.synthetic import random_power_law_edges
+    from gnntf_tpu.graph import from_edges
+    from gnntf_tpu.ops import normalize_adjacency, prepare_spmm
+    from gnntf_tpu.ops.hoist import hoisting_jit
+
+    cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as exc:  # noqa: BLE001
+        log(f"no compile cache: {exc!r}")
+
+    log(f"[{variant}] device={jax.devices()[0]} N={N} E={E} F={F} K={K}")
+    src, dst = random_power_law_edges(N, E, seed=0)
+    g = from_edges(src, dst, n_nodes=N, directed=False)
+    normed = jax.jit(lambda g: normalize_adjacency(g, graph_dropout=0.0))(g)
+    normed = dataclasses.replace(normed, row=g.row, col=g.col)
+    prep = prepare_spmm(normed)
+    # gathered slots = non-pad entries of the residual ELL grid (the
+    # hub-densified edges ride the MXU) — performance.md's denominator
+    slots = int((np.asarray(prep.ell.idx) != N).sum())
+    x0 = jnp.asarray(np.random.RandomState(1).randn(N, F), jnp.float32)
+
+    idx = jnp.asarray(prep.ell.idx)
+    vrow = jnp.asarray(prep.ell.vrow_row)
+    vals = prep.ell_vals
+    rs = prep.row_scale
+    cs = prep.col_scale
+    has_hub = prep.dense is not None
+
+    def core_padded(xp, out_segments):
+        """gather/k-reduce/sorted-combine on an already padded (N+1, F)
+        source, output over ``out_segments`` rows."""
+        xin = xp
+        if cs is not None:
+            csp = jnp.concatenate([cs, jnp.zeros((1,), cs.dtype)])
+            xin = xin * csp[:, None]
+        part = (xin[idx] * vals[:, :, None]).sum(axis=1)
+        out = jax.ops.segment_sum(part, vrow, num_segments=out_segments,
+                                  indices_are_sorted=True)
+        if has_hub:
+            densep = prep.dense if out_segments == N else jnp.concatenate(
+                [prep.dense, jnp.zeros((1, prep.dense.shape[1]),
+                                       prep.dense.dtype)], axis=0)
+            out = out + jnp.dot(densep, xin[prep.hub_ids],
+                                preferred_element_type=xin.dtype)
+        if rs is not None:
+            rsp = rs if out_segments == N else jnp.concatenate(
+                [rs, jnp.zeros((1,), rs.dtype)])
+            out = out * rsp[:, None]
+        return out
+
+    if variant == "prepared":
+        @hoisting_jit
+        def chain(h):
+            return jax.lax.fori_loop(0, K, lambda i, h: prep(h), h)
+
+        run, arg = chain, x0
+    elif variant == "padded":
+        xp0 = jnp.concatenate([x0, jnp.zeros((1, F), x0.dtype)], axis=0)
+
+        @hoisting_jit
+        def chain(hp):
+            return jax.lax.fori_loop(
+                0, K, lambda i, hp: core_padded(hp, N + 1), hp)
+
+        run, arg = chain, xp0
+    elif variant == "unrolled":
+        @hoisting_jit
+        def chain(h):
+            for _ in range(K):
+                h = prep(h)
+            return h
+
+        run, arg = chain, x0
+    elif variant == "pingpong":
+        @hoisting_jit
+        def chain(h):
+            def body(i, ab):
+                a, b = ab
+                return (b, prep(a))
+            a, b = jax.lax.fori_loop(0, K // 2, body, (h, prep(h)))
+            return b
+
+        run, arg = chain, x0
+    elif variant == "nofeedback":
+        @hoisting_jit
+        def chain(h):
+            def body(i, acc):
+                return acc + prep(x0) * (1.0 + 1e-9 * i)
+            return jax.lax.fori_loop(0, K, body, h)
+
+        run, arg = chain, x0
+    elif variant == "serialadd":
+        # serialized across iterations (scalar dependency), but the gather
+        # source is a FRESH elementwise-written buffer, not the scatter
+        # output: discriminates "gather from freshly-written memory" from
+        # "gather from the scatter's output buffer"
+        @hoisting_jit
+        def chain(h):
+            def body(i, carry):
+                src = x0 + carry[:1, :1] * 1e-30
+                out = prep(src)
+                return out
+            return jax.lax.fori_loop(0, K, body, h)
+
+        run, arg = chain, x0
+    elif variant == "indep":
+        # truly independent iterations: K distinct pre-materialized source
+        # buffers, full cross-iteration pipelining allowed (honest
+        # no-feedback control; LICM cannot hoist)
+        KI = min(K, 10)
+        xs = jnp.stack([x0 * (1.0 + 0.001 * i) for i in range(KI)])
+
+        @hoisting_jit
+        def chain(xs):
+            def body(i, acc):
+                return acc + prep(xs[i])
+            return jax.lax.fori_loop(0, KI, body, jnp.zeros_like(x0))
+
+        run, arg, K = chain, xs, KI
+    elif variant == "paramgather":
+        # gather straight from the jit PARAMETER xp0 every iteration, with
+        # a scalar-only serial dependency (no hoisting possible): if this
+        # is fast while serialadd/indep are slow, the gather's cost depends
+        # on whether its operand is a program parameter vs a loop-internal
+        # value
+        xp0 = jnp.concatenate([x0, jnp.zeros((1, F), x0.dtype)], axis=0)
+
+        @hoisting_jit
+        def chain(xp):
+            def body(i, carry):
+                part = (xp[idx] * vals[:, :, None]).sum(axis=1)
+                out = jax.ops.segment_sum(part, vrow, num_segments=N,
+                                          indices_are_sorted=True)
+                return carry * (1.0 - 1e-12) + out
+            return jax.lax.fori_loop(0, K, body,
+                                     jnp.zeros((N, F), x0.dtype))
+
+        run, arg = chain, xp0
+    elif variant == "nohub":
+        # feedback chain with the hub matmul removed (pure ELL residual)
+        @hoisting_jit
+        def chain(h):
+            def body(i, h):
+                part = (h[idx] * vals[:, :, None]).sum(axis=1)
+                return jax.ops.segment_sum(part, vrow,
+                                           num_segments=N + 1,
+                                           indices_are_sorted=True)
+            hp = jnp.concatenate([h, jnp.zeros((1, F), h.dtype)], axis=0)
+            return jax.lax.fori_loop(0, K, body, hp)
+
+        run, arg = chain, x0
+    elif variant == "noscatter":
+        # feedback chain with the sorted segment-sum REPLACED by a cheap
+        # reshape/slice back to (N+1, F): gather + k-reduce latency only.
+        # (Semantics are garbage; only the dependency structure matters.)
+        V = int(idx.shape[0])
+        reps = -(-(N + 1) // V)
+
+        @hoisting_jit
+        def chain(hp):
+            def body(i, hp):
+                part = (hp[idx] * vals[:, :, None]).sum(axis=1)
+                big = jnp.tile(part, (reps, 1))[:N + 1]
+                return big * (1.0 / max(1, reps))
+            return jax.lax.fori_loop(0, K, body, hp)
+
+        xp0 = jnp.concatenate([x0, jnp.zeros((1, F), x0.dtype)], axis=0)
+        run, arg = chain, xp0
+    elif variant == "nogather":
+        # feedback chain with the GATHER replaced by a contiguous slice
+        # (same output/scatter structure, no random access): segment-sum +
+        # feedback latency only
+        V = int(idx.shape[0])
+        k_w = int(idx.shape[1])
+
+        @hoisting_jit
+        def chain(hp):
+            def body(i, hp):
+                src = jax.lax.dynamic_slice(
+                    hp, (0, 0), (min(V, N + 1), F))
+                src = jnp.tile(src, (-(-V // src.shape[0]), 1))[:V]
+                part = src[:, None, :] * vals[:, :, None]
+                part = part.sum(axis=1)
+                return jax.ops.segment_sum(part, vrow,
+                                           num_segments=N + 1,
+                                           indices_are_sorted=True)
+            return jax.lax.fori_loop(0, K, body, hp)
+
+        xp0 = jnp.concatenate([x0, jnp.zeros((1, F), x0.dtype)], axis=0)
+        run, arg = chain, xp0
+    elif variant == "gather":
+        xp0 = jnp.concatenate([x0, jnp.zeros((1, F), x0.dtype)], axis=0)
+
+        @hoisting_jit
+        def chain(hp):
+            def body(i, acc):
+                return acc + xp0[idx].sum(axis=1) * (1.0 + 1e-9 * i)
+            z = jnp.zeros((idx.shape[0], F), x0.dtype)
+            return jax.lax.fori_loop(0, K, body, z)
+
+        run, arg = chain, xp0
+    else:
+        raise SystemExit(f"unknown variant {variant!r}")
+
+    t0 = time.perf_counter()
+    out = run(arg)
+    _ = float(jnp.sum(out))
+    log(f"[{variant}] compile+warm {time.perf_counter()-t0:.1f}s")
+    times = []
+    h = arg
+    for _ in range(3):
+        t0 = time.perf_counter()
+        h = run(arg if variant in ("nofeedback", "gather", "indep") else h)
+        _ = float(jnp.sum(h))
+        times.append(time.perf_counter() - t0)
+    per = min(times) / K
+    log(f"[{variant}] times {[f'{t*1e3:.1f}' for t in times]} ms/{K}")
+    print(f"PROBE variant={variant} n={N} e={E} slots={slots} "
+          f"ms={per*1e3:.3f} ns_per_slot={per*1e9/max(slots,1):.2f}",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()

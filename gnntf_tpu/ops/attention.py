@@ -6,7 +6,7 @@ scale, two *unsorted* E-sized segment reductions (max + sum) and four
 E-sized gathers — exactly the op class the grid work of r3 measured at
 ~18 ms each on TPU (documentation/performance.md).
 
-The ELL formulation here reuses the row-split layout machinery
+The ELL formulation reuses the row-split layout machinery
 (ops/spmm.build_ell, ``dedup=False`` so every original edge keeps its own
 slot and duplicate (row, col) pairs keep their *separate* softmax
 contributions, matching the per-edge segment path bit-for-bit in
@@ -20,10 +20,31 @@ structure):
   * aggregate: ``h[idx] * alpha`` -> dense k-sum -> sorted combine (the
     `_ell_compute` shape), replacing gather + unsorted segment-sum.
 
+**Recompute custom VJP (r5).**  XLA autodiff of the chain stores every
+(V, k, H) score/softmax intermediate and the (V, k, H, F) message grid as
+residuals — 16.15 GB at bench scale (GAT could not train without
+``remat``) — and differentiates the gathers into F-wide row *scatters*
+(the op ``ops/stochastic.py`` already banned from the SpMM backward).
+``_gat_core`` instead saves only (N, ·)-sized residuals (projected
+features, score halves, per-row max and inverse denominator) and
+recomputes the per-edge quantities in the backward: the row-grid pass
+produces the softmax row-dot and ``ds_dst``; a column-grid pass (the
+transpose twin, same machinery as ``ops/stochastic.TrainGrids``)
+produces ``dh`` and ``ds_src`` with *sorted* combines — no scatter, no
+(V, k, ·) residual, no remat.
+
+**Attention dropout is counter-based** (advisor r4): the keep decision
+for (original edge id, head) is a pure hash of the id, the head index and
+two salts from the layer RNG key — so the ELL grids and the segment
+fallback realize the IDENTICAL mask for the same key, at any scale, on
+any path (previously the grid path drew over the padded (V, k, H) grid
+and the segment path over (E, H): same seed, different realization).
+
 Falls back to the plain segment path for traced or small structures.
 """
 from __future__ import annotations
 
+import dataclasses
 from typing import Optional
 
 import jax
@@ -32,29 +53,82 @@ import numpy as np
 
 from ..graph.coo import Graph
 from .segment import segment_softmax
+from .stochastic import _fmix32, salts_from_key
 
 _MIN_EDGES = 65_536  # same scale gate as the SpMM layouts
+_GOLD = 0x9E3779B9   # odd constant decorrelating the per-head salts
 
 
-def _ell_nodedup_layout(graph: Graph):
-    """Per-original-edge row-split layout (duplicates keep their slots),
-    cached alongside the other layout caches."""
-    from ..utils.idcache import IdLRU
-    from .spmm import build_ell, _ELL_DEFAULT_K
-    global _ATTN_CACHE
-    if _ATTN_CACHE is None:
-        _ATTN_CACHE = IdLRU()
-    key = ("attn-ell", id(graph.row), id(graph.col), graph.n_nodes)
-    anchors = (graph.row, graph.col)
-    layout = _ATTN_CACHE.get(key, anchors)
-    if layout is None:
-        layout = build_ell(np.asarray(graph.row), np.asarray(graph.col),
-                           graph.n_nodes, _ELL_DEFAULT_K, dedup=False)
-        _ATTN_CACHE.put(key, anchors, layout)
-    return layout
+def _attn_keep_scale(eids: jax.Array, salt: jax.Array, n_heads: int,
+                     keep: float, dtype) -> jax.Array:
+    """Inverted-dropout scale factors per (edge id, head): ``1/keep`` for
+    kept coefficients, 0 for dropped — shape ``eids.shape + (n_heads,)``.
+
+    Pure counter-based hash (``ops/stochastic.keep_mask`` discipline, both
+    salts through a full fmix round): a function of the ORIGINAL edge id
+    only, so every layout — row grid, column grid, flat edge list —
+    realizes the same mask from its own constant id grid."""
+    base = _fmix32(eids.astype(jnp.uint32) ^ salt[0])
+    hsalt = salt[1] + jnp.arange(n_heads, dtype=jnp.uint32) * jnp.uint32(_GOLD)
+    h = _fmix32(base[..., None] ^ hsalt)
+    thresh = jnp.uint32(min(int(round(keep * (1 << 24))), 1 << 24))
+    kept = (h >> jnp.uint32(8)) < thresh
+    return jnp.where(kept, jnp.asarray(1.0 / keep, dtype),
+                     jnp.asarray(0.0, dtype))
+
+
+@dataclasses.dataclass(frozen=True)
+class AttnGrids:
+    """Per-original-edge row-split ELL grids of one graph structure, both
+    orientations (the ``TrainGrids`` shape, ops/stochastic.py): row grid
+    for the forward aggregation, column twin for the backward transpose.
+    Leaves are numpy on purpose (trace-safe constants; see ELLLayout)."""
+
+    n_nodes: int
+    r_idx: np.ndarray   # (Vr, k) int32 source ids (pad -> n_nodes)
+    r_vrow: np.ndarray  # (Vr,)  int32 destination row, non-decreasing
+    r_eid: np.ndarray   # (Vr, k) uint32 original edge ids (pad -> E)
+    c_idx: np.ndarray   # (Vc, k) int32 destination ids (pad -> n_nodes)
+    c_vrow: np.ndarray  # (Vc,)  int32 source row, non-decreasing
+    c_eid: np.ndarray   # (Vc, k) uint32 original edge ids (pad -> E)
+
+
+def _route_eids(layout, n_edges: int) -> np.ndarray:
+    grid = np.full(layout.n_vrows * layout.k, n_edges, np.uint32)
+    grid[layout.slot] = np.arange(n_edges, dtype=np.uint32)
+    return grid.reshape(layout.n_vrows, layout.k)
+
+
+def build_attn_grids(row, col, n_nodes: int) -> AttnGrids:
+    from .spmm import _ELL_DEFAULT_K, build_ell
+    row = np.asarray(row, np.int64)
+    col = np.asarray(col, np.int64)
+    e = row.shape[0]
+    rl = build_ell(row, col, n_nodes, _ELL_DEFAULT_K, dedup=False)
+    cl = build_ell(col, row, n_nodes, _ELL_DEFAULT_K, dedup=False)
+    return AttnGrids(n_nodes=n_nodes,
+                     r_idx=rl.idx, r_vrow=rl.vrow_row,
+                     r_eid=_route_eids(rl, e),
+                     c_idx=cl.idx, c_vrow=cl.vrow_row,
+                     c_eid=_route_eids(cl, e))
 
 
 _ATTN_CACHE = None
+
+
+def _attn_grids(graph: Graph) -> AttnGrids:
+    from ..utils.idcache import IdLRU
+    global _ATTN_CACHE
+    if _ATTN_CACHE is None:
+        _ATTN_CACHE = IdLRU()
+    key = ("attn-grids", id(graph.row), id(graph.col), graph.n_nodes)
+    anchors = (graph.row, graph.col)
+    grids = _ATTN_CACHE.get(key, anchors)
+    if grids is None:
+        grids = build_attn_grids(np.asarray(graph.row),
+                                 np.asarray(graph.col), graph.n_nodes)
+        _ATTN_CACHE.put(key, anchors, grids)
+    return grids
 
 
 def _grid_eligible(graph: Graph) -> bool:
@@ -75,28 +149,35 @@ def gat_attention(graph: Graph, h: jax.Array, s_src: jax.Array,
     ``leaky_relu(s_src[col] + s_dst[row])`` softmax-normalized over each
     destination's incoming edges; ``attn_dropout`` (with ``rng``) applies
     inverted dropout to the normalized coefficients (the GAT paper's
-    recipe).  Returns (N, H, F).
+    recipe) with a counter-based per-(edge, head) mask — the realization
+    is identical whichever execution path (grid or segment) runs.
+    ``sorted_by_row`` is a hint for the segment fallback only (the ELL
+    grids are row-sorted by construction).  Returns (N, H, F).
     """
+    salt = None
+    if attn_dropout and rng is not None:
+        salt = salts_from_key(rng)
     if _grid_eligible(graph):
         return _gat_attention_ell(graph, h, s_src, s_dst,
                                   negative_slope=negative_slope,
-                                  attn_dropout=attn_dropout, rng=rng)
+                                  attn_dropout=attn_dropout, salt=salt)
     return _gat_attention_segment(graph, h, s_src, s_dst,
                                   negative_slope=negative_slope,
-                                  attn_dropout=attn_dropout, rng=rng,
+                                  attn_dropout=attn_dropout, salt=salt,
                                   sorted_by_row=sorted_by_row)
 
 
 def _gat_attention_segment(graph, h, s_src, s_dst, *, negative_slope,
-                           attn_dropout, rng, sorted_by_row):
+                           attn_dropout, salt, sorted_by_row):
     row, col = graph.row, graph.col
     n, h_cnt, f = h.shape
     scores = jax.nn.leaky_relu(s_src[col] + s_dst[row],
                                negative_slope=negative_slope)
     alpha = segment_softmax(scores, row, n, indices_are_sorted=sorted_by_row)
-    if attn_dropout and rng is not None:
-        from .dropout import dropout as _dropout
-        alpha = _dropout(rng, alpha, attn_dropout)
+    if attn_dropout and salt is not None:
+        eids = jax.lax.iota(jnp.uint32, alpha.shape[0])
+        alpha = alpha * _attn_keep_scale(eids, salt, h_cnt,
+                                         1.0 - attn_dropout, alpha.dtype)
     msgs = h[col] * alpha[:, :, None].astype(h.dtype)
     out = jax.ops.segment_sum(msgs.reshape(msgs.shape[0], h_cnt * f), row,
                               num_segments=n,
@@ -104,43 +185,152 @@ def _gat_attention_segment(graph, h, s_src, s_dst, *, negative_slope,
     return out.reshape(n, h_cnt, f)
 
 
+def _make_gat_core(grids: AttnGrids, negative_slope: float):
+    """The recompute-VJP attention core for one graph structure.
+
+    Differentiable in (h, s_src, s_dst); the dropout scale grids ``m_r``
+    (row layout) and ``m_c`` (column layout) are inert inputs (zero
+    cotangent) — pass broadcastable ones when dropout is off.  Residuals
+    are (N, ·)-sized only; the backward re-gathers scores through both
+    grids and combines with SORTED segment sums (module docstring)."""
+    r_idx, r_vrow, r_eid = grids.r_idx, grids.r_vrow, grids.r_eid
+    c_idx, c_vrow, c_eid = grids.c_idx, grids.c_vrow, grids.c_eid
+    n = grids.n_nodes
+    slope = negative_slope
+    pad_r = r_idx == n
+    pad_c = c_idx == n
+
+    def _row_scores(ssrc_p, s_dst):
+        pre = ssrc_p[r_idx] + s_dst[r_vrow][:, None, :]       # (Vr, k, H)
+        sg = jax.nn.leaky_relu(pre, negative_slope=slope)
+        return pre, sg
+
+    def fwd_impl(h, s_src, s_dst, m_r, m_c):
+        nn_, h_cnt, f = h.shape
+        ssrc_p = jnp.concatenate(
+            [s_src, jnp.zeros((1, h_cnt), s_src.dtype)], axis=0)
+        pre, sg = _row_scores(ssrc_p, s_dst)
+        neg = jnp.asarray(-jnp.inf, sg.dtype)
+        sg = jnp.where(pad_r[:, :, None], neg, sg)
+        vmax = sg.max(axis=1)                                 # (Vr, H)
+        rmax = jax.ops.segment_max(vmax, r_vrow, num_segments=n,
+                                   indices_are_sorted=True)
+        rmax0 = jnp.where(jnp.isfinite(rmax), rmax, 0.0)
+        eg = jnp.exp(sg - rmax0[r_vrow][:, None, :])
+        eg = jnp.where(pad_r[:, :, None], 0.0, eg)            # (Vr, k, H)
+        denom = jax.ops.segment_sum(eg.sum(axis=1), r_vrow, num_segments=n,
+                                    indices_are_sorted=True)
+        dinv = 1.0 / jnp.maximum(denom, 1e-30)                # (N, H)
+        alpha = eg * dinv[r_vrow][:, None, :] * m_r
+        hp = jnp.concatenate(
+            [h.reshape(nn_, h_cnt * f),
+             jnp.zeros((1, h_cnt * f), h.dtype)], axis=0)
+        msgs = hp[r_idx].reshape(-1, r_idx.shape[1], h_cnt, f) \
+            * alpha[:, :, :, None].astype(h.dtype)
+        part = msgs.sum(axis=1).reshape(-1, h_cnt * f)
+        out = jax.ops.segment_sum(part, r_vrow, num_segments=n,
+                                  indices_are_sorted=True)
+        return out.reshape(n, h_cnt, f), (rmax0, dinv)
+
+    @jax.custom_vjp
+    def core(h, s_src, s_dst, m_r, m_c):
+        return fwd_impl(h, s_src, s_dst, m_r, m_c)[0]
+
+    def fwd(h, s_src, s_dst, m_r, m_c):
+        out, (rmax0, dinv) = fwd_impl(h, s_src, s_dst, m_r, m_c)
+        return out, (h, s_src, s_dst, rmax0, dinv, m_r, m_c)
+
+    def bwd(res, g):
+        h, s_src, s_dst, rmax0, dinv, m_r, m_c = res
+        nn_, h_cnt, f = h.shape
+        gf = g.reshape(nn_, h_cnt * f)
+
+        # -- row-grid pass: softmax row-dot + ds_dst ----------------------
+        ssrc_p = jnp.concatenate(
+            [s_src, jnp.zeros((1, h_cnt), s_src.dtype)], axis=0)
+        pre, sg = _row_scores(ssrc_p, s_dst)
+        eg = jnp.exp(sg - rmax0[r_vrow][:, None, :])
+        eg = jnp.where(pad_r[:, :, None], 0.0, eg)
+        alpha = eg * dinv[r_vrow][:, None, :]                 # pre-dropout
+        hp = jnp.concatenate(
+            [h.reshape(nn_, h_cnt * f),
+             jnp.zeros((1, h_cnt * f), h.dtype)], axis=0)
+        hg = hp[r_idx].reshape(-1, r_idx.shape[1], h_cnt, f)
+        gv = gf[r_vrow].reshape(-1, 1, h_cnt, f)
+        dalpha = (hg * gv).sum(axis=-1) * m_r                 # (Vr, k, H)
+        w = alpha * dalpha
+        rowdot = jax.ops.segment_sum(w.sum(axis=1), r_vrow, num_segments=n,
+                                     indices_are_sorted=True)  # (N, H)
+        dsig = w - alpha * rowdot[r_vrow][:, None, :]
+        dpre = dsig * jnp.where(pre > 0, 1.0, slope)
+        ds_dst = jax.ops.segment_sum(dpre.sum(axis=1), r_vrow,
+                                     num_segments=n,
+                                     indices_are_sorted=True)
+
+        # -- column-grid pass (transpose): dh + ds_src --------------------
+        zed = jnp.zeros((1, h_cnt), s_dst.dtype)
+        sdst_p = jnp.concatenate([s_dst, zed], axis=0)
+        rmax0_p = jnp.concatenate([rmax0, zed], axis=0)
+        dinv_p = jnp.concatenate([dinv, jnp.zeros((1, h_cnt), dinv.dtype)],
+                                 axis=0)
+        rowdot_p = jnp.concatenate(
+            [rowdot, jnp.zeros((1, h_cnt), rowdot.dtype)], axis=0)
+        gp = jnp.concatenate(
+            [gf, jnp.zeros((1, h_cnt * f), gf.dtype)], axis=0)
+
+        pre_c = s_src[c_vrow][:, None, :] + sdst_p[c_idx]     # (Vc, k, H)
+        sg_c = jax.nn.leaky_relu(pre_c, negative_slope=slope)
+        eg_c = jnp.exp(sg_c - rmax0_p[c_idx])
+        eg_c = jnp.where(pad_c[:, :, None], 0.0, eg_c)
+        alpha_c = eg_c * dinv_p[c_idx]
+        gc = gp[c_idx].reshape(-1, c_idx.shape[1], h_cnt, f)
+        # dh[c] = sum_e alpha~_e g[row_e]
+        dh_part = (gc * (alpha_c * m_c)[:, :, :, None].astype(gc.dtype)) \
+            .sum(axis=1).reshape(-1, h_cnt * f)
+        dh = jax.ops.segment_sum(dh_part, c_vrow, num_segments=n,
+                                 indices_are_sorted=True)
+        dh = dh.reshape(nn_, h_cnt, f)
+        hv = h.reshape(nn_, h_cnt * f)[c_vrow].reshape(-1, 1, h_cnt, f)
+        dalpha_c = (hv * gc).sum(axis=-1) * m_c
+        w_c = alpha_c * dalpha_c
+        dsig_c = w_c - alpha_c * rowdot_p[c_idx]
+        dpre_c = dsig_c * jnp.where(pre_c > 0, 1.0, slope)
+        ds_src = jax.ops.segment_sum(dpre_c.sum(axis=1), c_vrow,
+                                     num_segments=n,
+                                     indices_are_sorted=True)
+        return dh, ds_src, ds_dst, jnp.zeros_like(m_r), jnp.zeros_like(m_c)
+
+    core.defvjp(fwd, bwd)
+    return core
+
+
 def _gat_attention_ell(graph, h, s_src, s_dst, *, negative_slope,
-                       attn_dropout, rng):
-    layout = _ell_nodedup_layout(graph)
-    idx = jnp.asarray(layout.idx)            # (V, k) sources, pad=n
-    vrow = jnp.asarray(layout.vrow_row)      # (V,) dest rows, sorted
-    n, h_cnt, f = h.shape
-    v, k = layout.idx.shape
+                       attn_dropout, salt):
+    grids = _attn_grids(graph)
+    core = _gat_core(grids, negative_slope)
+    if attn_dropout and salt is not None:
+        keep = 1.0 - attn_dropout
+        h_cnt = h.shape[1]
+        m_r = _attn_keep_scale(jnp.asarray(grids.r_eid), salt, h_cnt,
+                               keep, h.dtype)
+        m_c = _attn_keep_scale(jnp.asarray(grids.c_eid), salt, h_cnt,
+                               keep, h.dtype)
+    else:
+        m_r = jnp.ones((1, 1, 1), h.dtype)
+        m_c = jnp.ones((1, 1, 1), h.dtype)
+    return core(h, s_src, s_dst, m_r, m_c)
 
-    pad = idx == n
-    ssrc_p = jnp.concatenate(
-        [s_src, jnp.zeros((1, h_cnt), s_src.dtype)], axis=0)
-    sg = ssrc_p[idx] + s_dst[vrow][:, None, :]           # (V, k, H)
-    sg = jax.nn.leaky_relu(sg, negative_slope=negative_slope)
-    neg = jnp.asarray(-jnp.inf, sg.dtype)
-    sg = jnp.where(pad[:, :, None], neg, sg)
 
-    # segment max: dense k-max then SORTED virtual-row combine
-    vmax = sg.max(axis=1)                                # (V, H)
-    rmax = jax.ops.segment_max(vmax, vrow, num_segments=n,
-                               indices_are_sorted=True)
-    rmax = jnp.where(jnp.isfinite(rmax), rmax, 0.0)
-    e = jnp.exp(sg - rmax[vrow][:, None, :])
-    e = jnp.where(pad[:, :, None], 0.0, e)               # (V, k, H)
+_CORE_CACHE = {}
 
-    denom = jax.ops.segment_sum(e.sum(axis=1), vrow, num_segments=n,
-                                indices_are_sorted=True)
-    alpha = e / jnp.maximum(denom[vrow][:, None, :], 1e-30)
-    if attn_dropout and rng is not None:
-        from .dropout import dropout as _dropout
-        alpha = _dropout(rng, alpha, attn_dropout)
 
-    hp = jnp.concatenate(
-        [h.reshape(n, h_cnt * f),
-         jnp.zeros((1, h_cnt * f), h.dtype)], axis=0)
-    msgs = hp[idx].reshape(v, k, h_cnt, f) * alpha[:, :, :, None].astype(
-        h.dtype)
-    part = msgs.sum(axis=1).reshape(v, h_cnt * f)        # dense k-reduce
-    out = jax.ops.segment_sum(part, vrow, num_segments=n,
-                              indices_are_sorted=True)
-    return out.reshape(n, h_cnt, f)
+def _gat_core(grids: AttnGrids, negative_slope: float):
+    """Memoized core per (grids identity, slope) — keeps the custom-VJP
+    function object stable so jit caches hit across layers/steps."""
+    key = (id(grids), float(negative_slope))
+    hit = _CORE_CACHE.get(key)
+    if hit is not None and hit[0] is grids:
+        return hit[1]
+    core = _make_gat_core(grids, negative_slope)
+    _CORE_CACHE[key] = (grids, core)
+    return core

@@ -30,10 +30,10 @@ def setup():
 def test_ell_matches_segment(setup):
     graph, h, s_src, s_dst = setup
     a = _gat_attention_segment(graph, h, s_src, s_dst, negative_slope=0.2,
-                               attn_dropout=0.0, rng=None,
+                               attn_dropout=0.0, salt=None,
                                sorted_by_row=graph.sorted_by_row)
     b = _gat_attention_ell(graph, h, s_src, s_dst, negative_slope=0.2,
-                           attn_dropout=0.0, rng=None)
+                           attn_dropout=0.0, salt=None)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
                                atol=1e-5)
 
@@ -43,7 +43,7 @@ def test_ell_matches_segment_gradients(setup):
 
     def loss(fn, h, ss, sd):
         return jnp.sum(fn(graph, h, ss, sd, negative_slope=0.2,
-                          attn_dropout=0.0, rng=None) ** 2)
+                          attn_dropout=0.0, salt=None) ** 2)
 
     ga = jax.grad(lambda *a: loss(
         lambda g, h, ss, sd, **kw: _gat_attention_segment(
@@ -56,10 +56,40 @@ def test_ell_matches_segment_gradients(setup):
                                    atol=1e-5)
 
 
+def test_dropout_realization_identical_across_paths(setup):
+    """Counter-based attention dropout (advisor r4): for the same RNG key
+    the grid path and the segment fallback must realize the IDENTICAL
+    per-(edge, head) mask — values and gradients."""
+    from gnntf_tpu.ops.stochastic import salts_from_key
+    graph, h, s_src, s_dst = setup
+    salt = salts_from_key(jax.random.PRNGKey(7))
+    a = _gat_attention_segment(graph, h, s_src, s_dst, negative_slope=0.2,
+                               attn_dropout=0.4, salt=salt,
+                               sorted_by_row=graph.sorted_by_row)
+    b = _gat_attention_ell(graph, h, s_src, s_dst, negative_slope=0.2,
+                           attn_dropout=0.4, salt=salt)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                               atol=1e-5)
+
+    def loss(fn, h, ss, sd):
+        return jnp.sum(fn(graph, h, ss, sd, negative_slope=0.2,
+                          attn_dropout=0.4, salt=salt) ** 2)
+
+    ga = jax.grad(lambda *a: loss(
+        lambda g, h, ss, sd, **kw: _gat_attention_segment(
+            g, h, ss, sd, sorted_by_row=g.sorted_by_row, **kw), *a),
+        argnums=(0, 1, 2))(h, s_src, s_dst)
+    gb = jax.grad(lambda *a: loss(_gat_attention_ell, *a),
+                  argnums=(0, 1, 2))(h, s_src, s_dst)
+    for x, y in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-4,
+                                   atol=1e-4)
+
+
 def test_dispatch_threshold(setup, monkeypatch):
     graph, h, s_src, s_dst = setup
     ref = _gat_attention_segment(graph, h, s_src, s_dst, negative_slope=0.2,
-                                 attn_dropout=0.0, rng=None,
+                                 attn_dropout=0.0, salt=None,
                                  sorted_by_row=graph.sorted_by_row)
     # below threshold: segment path
     out_small = gat_attention(graph, h, s_src, s_dst)
