@@ -194,6 +194,58 @@ def main():
                                      jnp.zeros((N, F), x0.dtype))
 
         run, arg = chain, xp0
+    elif variant == "deadcarry":
+        # gather source is a CARRIED BUT NEVER-WRITTEN buffer (the carry
+        # tuple's first component passes through unchanged); the value
+        # grid gets a scalar perturbation from the live half so nothing
+        # is loop-invariant.  Fast => only written/produced buffers are
+        # slow; slow => any non-parameter operand is slow.
+        xp0 = jnp.concatenate([x0, jnp.zeros((1, F), x0.dtype)], axis=0)
+
+        @hoisting_jit
+        def chain(xp):
+            def body(i, carry):
+                xdead, h = carry
+                v_i = vals + h[0, 0] * 1e-30
+                part = (xdead[idx] * v_i[:, :, None]).sum(axis=1)
+                out = jax.ops.segment_sum(part, vrow, num_segments=N,
+                                          indices_are_sorted=True)
+                return (xdead, out)
+            _, h = jax.lax.fori_loop(0, K, body,
+                                     (xp, jnp.zeros((N, F), x0.dtype)))
+            return h
+
+        run, arg = chain, xp0
+    elif variant == "dma":
+        # DMA-engine gather (ops/pallas/dma_gather) with TRUE feedback:
+        # per-row async copies driven from SMEM indices instead of the
+        # native gather — does the descriptor path dodge the
+        # internal-operand penalty?
+        from gnntf_tpu.ops.pallas.dma_gather import dma_gather_ell
+        VB = 256
+        v = prep.ell.n_vrows
+        v_pad = -(-v // VB) * VB
+        idx_p = np.full((v_pad, prep.ell.k), N, np.int32)
+        idx_p[:v] = np.asarray(prep.ell.idx)
+        idx_flat = jnp.asarray(idx_p.reshape(-1))
+        vals_flat = jnp.concatenate(
+            [prep.ell_vals.reshape(-1),
+             jnp.zeros(((v_pad - v) * prep.ell.k,), prep.ell_vals.dtype)])
+        vrow_j = jnp.asarray(prep.ell.vrow_row)
+
+        @hoisting_jit
+        def chain(hp):
+            def body(i, hp):
+                part = dma_gather_ell(idx_flat, vals_flat, hp,
+                                      k=prep.ell.k, VB=VB)
+                out = jax.ops.segment_sum(part[:v], vrow_j,
+                                          num_segments=N + 1,
+                                          indices_are_sorted=True)
+                return out
+            return jax.lax.fori_loop(0, K, body, hp)
+
+        xp0 = jnp.concatenate([x0, jnp.zeros((1, F), x0.dtype)], axis=0)
+        run, arg = chain, xp0
     elif variant == "nohub":
         # feedback chain with the hub matmul removed (pure ELL residual)
         @hoisting_jit

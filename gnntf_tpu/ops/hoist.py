@@ -40,6 +40,8 @@ and needs no cooperation from library code.
 """
 from __future__ import annotations
 
+import os
+from collections import OrderedDict
 from typing import Callable
 
 import jax
@@ -147,13 +149,26 @@ def _signature(args):
         for a in flat))
 
 
+# Per-instance cap on retained (signature -> program) entries.  Every
+# program pins device_put copies of its hoisted consts (tens to hundreds
+# of MB for train steps), so an unbounded per-signature dict is a leak
+# for shape-churning callers (advisor r4).  Production call sites use one
+# signature (or two: train + eval shapes); the default keeps headroom
+# without letting churn accumulate.
+MAX_PROGRAMS = int(os.environ.get("GNNTF_HOIST_MAX_PROGRAMS", "8"))
+
+
 class hoisting_jit:
     """``jax.jit`` variant that passes every large closed-over constant
-    as an argument (see module docstring).  Usable as a decorator."""
+    as an argument (see module docstring).  Usable as a decorator.
+
+    Retains at most :data:`MAX_PROGRAMS` traced programs per instance
+    (LRU by signature — each pins its hoisted consts on device);
+    ``n_hoisted``/``hoisted_bytes`` aggregate over the retained programs."""
 
     def __init__(self, fn: Callable):
         self._fn = fn
-        self._programs = {}
+        self._programs = OrderedDict()
 
     def _program(self, args) -> _Program:
         flat, sig = _signature(args)
@@ -161,6 +176,10 @@ class hoisting_jit:
         if prog is None:
             prog = _Program(self._fn, args)
             self._programs[sig] = prog
+            while len(self._programs) > MAX_PROGRAMS:
+                self._programs.popitem(last=False)
+        else:
+            self._programs.move_to_end(sig)
         return prog, flat
 
     def __call__(self, *args):
@@ -174,11 +193,13 @@ class hoisting_jit:
 
     @property
     def n_hoisted(self) -> int:
+        """Total hoisted consts across ALL retained signatures."""
         if not self._programs:
             raise ValueError("not built yet — call or lower() first")
-        return next(iter(self._programs.values())).n_hoisted
+        return sum(p.n_hoisted for p in self._programs.values())
 
     def hoisted_bytes(self) -> int:
+        """Total hoisted const bytes across ALL retained signatures."""
         if not self._programs:
             raise ValueError("not built yet — call or lower() first")
-        return next(iter(self._programs.values())).hoisted_bytes
+        return sum(p.hoisted_bytes for p in self._programs.values())

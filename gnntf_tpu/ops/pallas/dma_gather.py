@@ -70,8 +70,15 @@ def _kernel(idx_ref, vals_ref, x_hbm, out_ref, idx_smem, rows_vmem, sem,
     jax.lax.fori_loop(0, nrows, drain, 0)
 
     gathered = rows_vmem[:].reshape(VB, K, F)
-    out_ref[:] = (gathered * vals_ref[:].reshape(VB, K)[:, :, None]).sum(
-        axis=1)
+    # vals arrive as a (VB, K) 2D block.  The k-reduce is a statically
+    # unrolled sum of K (VB, F) planes scaled by (VB, 1) value column
+    # slices: Mosaic's vector-layout inference rejects both the
+    # (VB*K,) -> (VB, K, 1) shape cast and a vkf,vk->vf dot_general, while
+    # 2D slices + lane broadcasts lower cleanly (K is small and static).
+    acc = gathered[:, 0, :] * vals_ref[:, 0:1]
+    for j in range(1, K):
+        acc = acc + gathered[:, j, :] * vals_ref[:, j:j + 1]
+    out_ref[:] = acc
 
 
 @partial(jax.jit, static_argnames=("k", "VB", "interpret"))
@@ -80,10 +87,11 @@ def dma_gather_ell(idx_flat: jax.Array, vals_flat: jax.Array,
                    interpret: bool = False) -> jax.Array:
     """Per-virtual-row partials ``p[v] = sum_j vals[v, j] * xp[idx[v, j]]``.
 
-    ``idx_flat``/``vals_flat`` — (Vpad*k,) ELL indices / live values,
-    padded to a multiple of ``VB`` virtual rows with index ``N`` (the
-    appended zero row of ``xp``).  ``xp`` — (N+1, F) features with a
-    trailing zero row.  Returns (Vpad, F) partials; combine with
+    ``idx_flat`` — (Vpad*k,) ELL indices, padded to a multiple of ``VB``
+    virtual rows with index ``N`` (the appended zero row of ``xp``);
+    ``vals_flat`` — (Vpad*k,) live values (reshaped to (Vpad, k) blocks
+    internally).  ``xp`` — (N+1, F) features with a trailing zero row.
+    Returns (Vpad, F) partials; combine with
     ``segment_sum(partials, vrow_row)`` exactly as the ELL path does.
     """
     if not _PALLAS_OK:
@@ -92,13 +100,14 @@ def dma_gather_ell(idx_flat: jax.Array, vals_flat: jax.Array,
     assert v_pad % VB == 0, (v_pad, VB)
     F = xp.shape[1]
     n_blocks = v_pad // VB
+    vals2 = vals_flat.reshape(v_pad, k)
     return pl.pallas_call(
         partial(_kernel, VB=VB, K=k, F=F),
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec((VB * k,), lambda b: (b,),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((VB * k,), lambda b: (b,),
+            pl.BlockSpec((VB, k), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),  # xp stays in HBM
         ],
@@ -113,7 +122,7 @@ def dma_gather_ell(idx_flat: jax.Array, vals_flat: jax.Array,
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(idx_flat, vals_flat, xp)
+    )(idx_flat, vals2, xp)
 
 
 def spmm_dma_gather(graph, x, *, k: int = 8, VB: int = 256,

@@ -43,6 +43,7 @@ per-edge materialized path in tests/test_stochastic.py.
 """
 from __future__ import annotations
 
+import contextvars
 import dataclasses
 from typing import Optional
 
@@ -57,6 +58,40 @@ from ..utils.idcache import IdLRU
 # (grid build cost + constants aren't worth it; parity-scale graphs are
 # unaffected by design).
 MIN_EDGES = 65_536
+
+# Scoped override (advisor r4: dryrun/test harnesses used to monkeypatch
+# the module global, which is process-wide and leaks through jit caches
+# traced under the patched value).  The contextvar is per-thread and the
+# scope is explicit; it must be live while the consuming step TRACES
+# (post-compile the threshold is baked into the program — callers that
+# re-enter with the same traced functions keep the traced behavior, which
+# is also true of any other trace-time configuration).
+_MIN_EDGES_VAR: contextvars.ContextVar[Optional[int]] = \
+    contextvars.ContextVar("gnntf_min_edges", default=None)
+
+
+def min_edges() -> int:
+    """The effective lazy-dropout threshold: the scoped override if one is
+    active, else the module default."""
+    override = _MIN_EDGES_VAR.get()
+    return MIN_EDGES if override is None else override
+
+
+class min_edges_scope:
+    """Context manager scoping the lazy-dropout edge threshold — for
+    dryruns/tests that need the grid path on tiny graphs without mutating
+    the process-global default."""
+
+    def __init__(self, n: int):
+        self.n = int(n)
+
+    def __enter__(self):
+        self._token = _MIN_EDGES_VAR.set(self.n)
+        return self.n
+
+    def __exit__(self, *exc):
+        _MIN_EDGES_VAR.reset(self._token)
+        return False
 # row-split width shared with the deterministic ELL/hybrid formulations
 # (ops/spmm.py) so a k retune there applies to the training grids too
 from .spmm import _ELL_DEFAULT_K as _K  # noqa: E402  (cycle-safe: spmm
@@ -261,7 +296,7 @@ def grids_eligible(graph: Graph) -> bool:
     """The grid path needs concrete structure and base values (models
     close over their graph; distributed/sharded graphs are traced and
     fall back) and enough edges to amortize the constants."""
-    return (graph.n_edges >= MIN_EDGES
+    return (graph.n_edges >= min_edges()
             and not any(isinstance(a, jax.core.Tracer)
                         for a in (graph.row, graph.col, graph.val)))
 

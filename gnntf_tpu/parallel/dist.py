@@ -96,17 +96,13 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def make_distributed_train_step(model, task, mesh: Mesh, tx, graph: Graph,
-                                regularization: float = 5e-4):
-    """A jitted full training step (forward, loss, backward, Adam update)
-    with the graph edge-sharded and hidden weights feature-sharded.
-
-    Returns ``(step, placed)`` where ``placed`` holds the device_put model
-    state: ``step(params, opt_state, rng, deg, features, graph, batch)``.
-    """
-    p_sh = param_shardings(model, mesh)
-    g_sh = graph_shardings(mesh, graph)
-    rep = replicated(mesh)
+def make_train_step_raw(model, task, tx, regularization: float = 5e-4):
+    """The UNJITTED distributed train-step body
+    ``step(params, opt_state, rng, deg, features, graph, batch)`` —
+    shared by the per-epoch jit (:func:`make_distributed_train_step`) and
+    the fused multi-epoch ``lax.scan`` path (train/trainer._fit_fused),
+    which traces it inside its own program and relies on the committed
+    shardings of the carried arrays for GSPMD propagation."""
     trainable = {s.name: s.trainable for s in model.param_specs}
 
     def step(params, opt_state, rng, deg, features, graph, batch):
@@ -125,6 +121,19 @@ def make_distributed_train_step(model, task, mesh: Mesh, tx, graph: Graph,
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
+    return step
+
+
+def make_distributed_train_step(model, task, mesh: Mesh, tx, graph: Graph,
+                                regularization: float = 5e-4):
+    """A jitted full training step (forward, loss, backward, Adam update)
+    with the graph edge-sharded and hidden weights feature-sharded:
+    ``step(params, opt_state, rng, deg, features, graph, batch)``.
+    """
+    p_sh = param_shardings(model, mesh)
+    g_sh = graph_shardings(mesh, graph)
+    rep = replicated(mesh)
+    step = make_train_step_raw(model, task, tx, regularization)
     jitted = jax.jit(
         step,
         in_shardings=(p_sh, None, rep, rep, rep, g_sh, None),
@@ -133,15 +142,19 @@ def make_distributed_train_step(model, task, mesh: Mesh, tx, graph: Graph,
     return jitted
 
 
+def make_eval_raw(model):
+    """The unjitted distributed clean-forward body (see
+    :func:`make_train_step_raw`)."""
+    def eval_fn(params, features, graph):
+        return model.apply(params, features, training=False, graph=graph)
+    return eval_fn
+
+
 def make_distributed_eval(model, mesh: Mesh, graph: Graph):
     g_sh = graph_shardings(mesh, graph)
     rep = replicated(mesh)
     p_sh = param_shardings(model, mesh)
-
-    def eval_fn(params, features, graph):
-        return model.apply(params, features, training=False, graph=graph)
-
-    return jax.jit(eval_fn, in_shardings=(p_sh, rep, g_sh),
+    return jax.jit(make_eval_raw(model), in_shardings=(p_sh, rep, g_sh),
                    out_shardings=rep)
 
 

@@ -226,6 +226,7 @@ def fit(model: Trainable, train: Predictor, valid: Optional[Predictor] = None,
         from ..parallel import (make_distributed_eval,
                                 make_distributed_train_step, place_state,
                                 shard_graph)
+        from ..parallel.dist import make_eval_raw, make_train_step_raw
         sharded = shard_graph(model.graph, mesh)
         params, features_rep = place_state(model, mesh, params)
         opt_state = tx.init(params)
@@ -239,6 +240,30 @@ def fit(model: Trainable, train: Predictor, valid: Optional[Predictor] = None,
 
         def eval_acts(params):
             return dist_eval(params, features_rep, sharded)
+
+        # unjitted bodies for the fused multi-epoch scan.  The sharded
+        # graph + replicated features are threaded through as EXPLICIT
+        # jit arguments (``fused_env``), not closures: a closed-over
+        # concrete graph would engage the lazy counter-based dropout path
+        # (different realization than the per-epoch GSPMD step's traced
+        # bernoulli draw) and silently un-shard the edge arrays into
+        # replicated layout constants.  As traced arguments they keep the
+        # per-epoch step's exact semantics and GSPMD placements.
+        _raw_step = make_train_step_raw(model, train, tx,
+                                        regularization=regularization)
+        _raw_eval = make_eval_raw(model)
+
+        def train_step_raw(params, opt_state, rng, deg, batch, env):
+            features, graph = env
+            return _raw_step(params, opt_state, rng, deg, features,
+                             graph, batch)
+
+        def eval_acts_raw(params, env):
+            features, graph = env
+            return _raw_eval(params, features, graph)
+
+        train_step_raw.fused_env = (features_rep, sharded)
+        eval_acts_raw.fused_env = (features_rep, sharded)
     else:
         opt_state = tx.init(params)
 
@@ -285,13 +310,18 @@ def fit(model: Trainable, train: Predictor, valid: Optional[Predictor] = None,
                 executor = HaloExecutor(mesh)
 
             def _scoped(fn):
-                def wrapped(*args):
+                def wrapped(*args, **kw):
                     with spmm_executor(executor):
-                        return fn(*args)
+                        return fn(*args, **kw)
+                wrapped.__dict__.update(fn.__dict__)
                 return wrapped
 
             train_step = _scoped(train_step)
             eval_acts = _scoped(eval_acts)
+            # the fused path traces the raw bodies inside its own block
+            # program — the executor scope must be live during THAT trace
+            train_step_raw = _scoped(train_step_raw)
+            eval_acts_raw = _scoped(eval_acts_raw)
 
     if spmm_impl is not None:
         # per-call formulation selection, contextvar-scoped around each
@@ -302,18 +332,18 @@ def fit(model: Trainable, train: Predictor, valid: Optional[Predictor] = None,
                              f"got {spmm_impl!r}")
 
         def _impl_scoped(fn):
-            def wrapped(*args):
+            def wrapped(*args, **kw):
                 with _impl_scope(spmm_impl):
-                    return fn(*args)
+                    return fn(*args, **kw)
+            wrapped.__dict__.update(fn.__dict__)  # keep fused_env marker
             return wrapped
 
         train_step = _impl_scoped(train_step)
         eval_acts = _impl_scoped(eval_acts)
-        if mesh is None:
-            # the fused path re-traces the raw fns inside its own block
-            # program — the impl scope must be live during THAT trace too
-            train_step_raw = _impl_scoped(train_step_raw)
-            eval_acts_raw = _impl_scoped(eval_acts_raw)
+        # the fused path re-traces the raw fns inside its own block
+        # program — the impl scope must be live during THAT trace too
+        train_step_raw = _impl_scoped(train_step_raw)
+        eval_acts_raw = _impl_scoped(eval_acts_raw)
 
     valid_loss_fn = jax.jit(
         lambda acts, batch, params: valid.loss(acts, batch, params=params))
@@ -360,8 +390,12 @@ def fit(model: Trainable, train: Predictor, valid: Optional[Predictor] = None,
                   "best_epoch": history["best_epoch"],
                   "rng_seed": rng_seed})
 
+    # Fused multi-epoch scan: local AND distributed (r5 — the GSPMD step
+    # is shape-static, and halo/ring executors shard_map inside the scan;
+    # previously `mesh is None` was required, so multi-chip training paid
+    # per-epoch host dispatch that single-chip no longer did).
     use_fused = (block_epochs > 1 and batches == 1 and not verbose
-                 and train.static and valid.static and mesh is None)
+                 and train.static and valid.static)
     if use_fused:
         return _fit_fused(
             model, train, valid, train_step_raw, eval_acts_raw, params,
@@ -453,18 +487,31 @@ def _fit_fused(model, train, valid, train_step, eval_acts, params, opt_state,
 
     valid_loss_fn = lambda acts, params: valid.loss(acts, vb, params=params)
 
+    # distributed (GSPMD) steps take the sharded graph + replicated
+    # features as an explicit traced argument so the fused program keeps
+    # the per-epoch step's exact semantics and shardings (see fit)
+    fused_env = getattr(train_step, "fused_env", None)
+
     @hoisting_jit
     def run_block(params, opt_state, best_params, min_loss, patience_rem,
-                  stopped, rngs, degs):
+                  stopped, rngs, degs, *env):
+        env = env if fused_env is not None else None
+
         def body(carry, inp):
             params, opt_state, best_params, min_loss, patience_rem, stopped \
                 = carry
             rng, deg = inp
-            new_params, new_opt, loss = train_step(params, opt_state, rng,
-                                                   deg, tb)
+            if env is not None:
+                new_params, new_opt, loss = train_step(params, opt_state,
+                                                       rng, deg, tb, env)
+                acts_of = lambda p: eval_acts(p, env)
+            else:
+                new_params, new_opt, loss = train_step(params, opt_state,
+                                                       rng, deg, tb)
+                acts_of = eval_acts
             params = _tree_where(stopped, params, new_params)
             opt_state = _tree_where(stopped, opt_state, new_opt)
-            acts = eval_acts(params)
+            acts = acts_of(params)
             vloss = valid_loss_fn(acts, params)
             pat = jnp.where(stopped, patience_rem, patience_rem - 1)
             improved = jnp.logical_and(vloss < min_loss,
@@ -492,10 +539,11 @@ def _fit_fused(model, train, valid, train_step, eval_acts, params, opt_state,
         degs = jnp.asarray([float(degradation(e))
                             for e in range(epoch, epoch + n)], jnp.float32)
         best_before_block = float(min_loss)
+        extra = fused_env if fused_env is not None else ()
         (params, opt_state, best_params, min_loss, patience_rem, stopped), \
             (losses, vlosses, improveds) = run_block(
                 params, opt_state, best_params, min_loss, patience_rem,
-                stopped, rngs, degs)
+                stopped, rngs, degs, *extra)
         losses = np.asarray(losses)
         vlosses = np.asarray(vlosses)
         improveds = np.asarray(improveds)

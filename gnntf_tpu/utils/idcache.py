@@ -18,9 +18,12 @@ because eager TF re-executes everything per step.
 """
 from __future__ import annotations
 
+import logging
 import os
 from collections import OrderedDict
 from typing import Any, Callable, Optional, Tuple
+
+_log = logging.getLogger("gnntf_tpu")
 
 
 def _default_cap_bytes() -> int:
@@ -61,6 +64,7 @@ class Budget:
         self._cap = cap_bytes
         self.used = 0
         self.caches = []
+        self._over_warned = False  # one warning per cap crossing
 
     @property
     def cap(self) -> int:
@@ -136,6 +140,27 @@ class IdLRU:
             # still over: entries pinned by sibling caches — evict there
             # (keeps the single entry this cache is actively serving)
             self._budget.evict_to_cap(protect=self)
+        if self._budget.used > cap:
+            # The budget is SOFT at the floor: every member cache protects
+            # its most-recently-used entry (draining a cache to zero would
+            # rebuild prepared SpMM / grid state every step), so with ~8
+            # layout caches each pinning a multi-hundred-MB entry the
+            # resident total can exceed the configured cap several-fold.
+            # Surface that instead of silently blowing the bound
+            # (advisor r4).  Rate-limited per crossing: warn once until
+            # usage drops back under cap.
+            if not self._budget._over_warned:
+                self._budget._over_warned = True
+                _log.warning(
+                    "layout-cache budget exceeded: %.0f MB resident vs "
+                    "GNNTF_LAYOUT_CACHE_MB=%.0f cap — each cache protects "
+                    "its most-recent entry, so the floor is the sum of "
+                    "the hot entries across %d caches; raise the cap or "
+                    "call utils.idcache.GLOBAL_BUDGET.clear_all()",
+                    self._budget.used / 1e6, cap / 1e6,
+                    len(self._budget.caches))
+        else:
+            self._budget._over_warned = False
 
     def __len__(self) -> int:
         return len(self._data)

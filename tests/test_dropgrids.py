@@ -262,6 +262,37 @@ class TestDistributedTraining:
         assert np.isfinite(hist["train_loss"][-1])
         assert hist["valid_loss"][-1] < hist["valid_loss"][0]
 
+    def test_fused_distributed_matches_per_epoch(self, setup):
+        """r5: the fused multi-epoch lax.scan path runs under a mesh
+        (use_fused no longer requires mesh is None) and reproduces the
+        per-epoch distributed trajectory exactly — for both the GSPMD
+        step and the halo executor."""
+        labels = setup["labels"]
+        tr = gt.NodeClassification(setup["train"], labels[setup["train"]])
+
+        def make():
+            return gt.APPNP(setup["adj"], setup["features"], num_classes=4,
+                            iterations=3)
+
+        m0 = make()
+        m0.reset(0)
+        init = dict(m0.params)
+        for kwargs in (dict(mesh=make_mesh(8, 1), spmm="halo"),
+                       dict(mesh=make_mesh(4, 2))):
+            m_epoch = make()
+            h_epoch = m_epoch.train(train=tr, patience=10, epochs=6, seed=0,
+                                    init_params=dict(init), **kwargs)
+            m_fused = make()
+            h_fused = m_fused.train(train=tr, patience=10, epochs=6, seed=0,
+                                    init_params=dict(init), block_epochs=3,
+                                    **kwargs)
+            np.testing.assert_allclose(h_fused["train_loss"],
+                                       h_epoch["train_loss"],
+                                       rtol=2e-3, atol=2e-4)
+            np.testing.assert_allclose(h_fused["valid_loss"],
+                                       h_epoch["valid_loss"],
+                                       rtol=2e-3, atol=2e-4)
+
     def test_gat_trains_under_halo_fit(self, setup):
         labels = setup["labels"]
         tr = gt.NodeClassification(setup["train"], labels[setup["train"]])
