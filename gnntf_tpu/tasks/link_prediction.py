@@ -42,14 +42,25 @@ class negative_sampling:
     negatives, interleaved (reference graph_predictor.py:52-98).  Negatives
     are redrawn on every call, rejecting self-edges and existing edges.
 
-    TPU-native difference: rejection sampling runs against a hashed edge set
-    with vectorized numpy draws (the reference loops
-    ``graph.has_edge`` per candidate in Python — the CPU hot spot flagged in
-    SURVEY §3.5); when the native C++ sampler extension is available it is
-    used automatically."""
+    TPU-native differences:
+
+    * rejection sampling runs against a hashed edge set — in C++ when the
+      native extension is available (``native/gnntf_native.cc``) — instead
+      of the reference's per-candidate ``graph.has_edge`` Python loop (the
+      CPU hot spot flagged in SURVEY §3.5);
+    * with ``prefetch=True`` (default) every call also kicks a background
+      thread that samples the NEXT epoch's negatives into a spare buffer;
+      the following call just swaps buffers.  The ctypes sampler call
+      releases the GIL, so sampling for epoch e+1 overlaps the device
+      step of epoch e and the sampler leaves the epoch's critical path
+      entirely (reference hot spot graph_predictor.py:84-94 runs
+      *synchronously inside* its loss).  Thread seeds are drawn on the
+      calling thread, so realizations stay deterministic under
+      ``set_seed`` regardless of scheduling."""
 
     def __init__(self, positive_edges, graph, samples: int = 1,
-                 negative_nodes=None, pool: Optional[int] = None):
+                 negative_nodes=None, pool: Optional[int] = None,
+                 prefetch: bool = True):
         self.positive_edges = [(int(u), int(v)) for u, v in positive_edges]
         self.samples = samples
         self.graph = graph
@@ -71,11 +82,14 @@ class negative_sampling:
         self.edges = np.empty(((1 + samples) * len(self.positive_edges), 2),
                               dtype=np.int64)
         self._first_sample()
+        self.prefetch = prefetch
+        self._pending = None   # (thread, buffer) of an in-flight prefetch
+        self._spare = None
 
-    def _draw_negative(self, u: int, v: int) -> int:
+    def _draw_negative(self, u: int, v: int, rng=random) -> int:
         cand = self.negative_nodes
         while True:
-            vneg = int(cand[random.randrange(len(cand))])
+            vneg = int(cand[rng.randrange(len(cand))])
             if vneg != u and vneg != v and (u, vneg) not in self._edge_set:
                 return vneg
 
@@ -88,32 +102,55 @@ class negative_sampling:
                 self.edges[i] = (u, -1)
                 i += 1
 
-    def _resample(self):
+    def _fill(self, buf: np.ndarray, seed: int):
+        """Redraw the negative slots of ``buf`` (positive rows are already
+        in place).  All randomness comes from ``seed`` — safe to run on a
+        background thread without touching the global RNG stream."""
         try:
             from ..utils.native import negative_sample_native
-            filled = negative_sample_native(self)
+            filled = negative_sample_native(self, out=buf, seed=seed)
             if filled is not None:
                 return
         except ImportError:
             pass
+        rng = random.Random(seed)
         i = 0
         for u, v in self.positive_edges:
             i += 1
             if self._negative_pool is not None:
                 cands = self._negative_pool[u]
                 for _ in range(self.samples):
-                    vneg = cands[random.randrange(len(cands))]
+                    vneg = cands[rng.randrange(len(cands))]
                     while vneg == u or vneg == v:
-                        vneg = cands[random.randrange(len(cands))]
-                    self.edges[i, 1] = vneg
+                        vneg = cands[rng.randrange(len(cands))]
+                    buf[i, 1] = vneg
                     i += 1
             else:
                 for _ in range(self.samples):
-                    self.edges[i, 1] = self._draw_negative(u, v)
+                    buf[i, 1] = self._draw_negative(u, v, rng)
                     i += 1
 
+    def _resample(self):
+        self._fill(self.edges, random.randrange(2 ** 62))
+
     def __call__(self):
-        self._resample()
+        import threading
+        if self._pending is not None:
+            thread, buf = self._pending
+            thread.join()
+            self._pending = None
+            self.edges, self._spare = buf, self.edges
+        else:
+            self._resample()
+        if self.prefetch:
+            if self._spare is None:
+                self._spare = self.edges.copy()
+            seed = random.randrange(2 ** 62)  # drawn HERE: deterministic
+            thread = threading.Thread(target=self._fill,
+                                      args=(self._spare, seed), daemon=True)
+            thread.start()
+            self._pending = (thread, self._spare)
+            self._spare = None
         return self.edges, self.labels
 
 

@@ -85,10 +85,13 @@ def _edge_hashes(sampler) -> np.ndarray:
     return keys
 
 
-def negative_sample_native(sampler) -> Optional[bool]:
-    """Fill ``sampler.edges`` negatives in C++.  Returns True when filled,
-    None to signal the caller to use the python fallback (library missing,
-    or the sampler uses a custom ``pool``)."""
+def negative_sample_native(sampler, out: Optional[np.ndarray] = None,
+                           seed: Optional[int] = None) -> Optional[bool]:
+    """Fill ``out`` (default: ``sampler.edges``) negatives in C++.
+    Returns True when filled, None to signal the caller to use the python
+    fallback (library missing, or the sampler uses a custom ``pool``).
+    The ctypes call releases the GIL, so a prefetch thread sampling epoch
+    e+1 genuinely overlaps the device step of epoch e."""
     lib = _load()
     if lib is None or sampler._negative_pool is not None:
         return None
@@ -98,14 +101,17 @@ def negative_sample_native(sampler) -> Optional[bool]:
         sampler._native_pos = pos
     neg_nodes = np.ascontiguousarray(sampler.negative_nodes, np.int64)
     hashes = _edge_hashes(sampler)
-    seed = np.random.randint(0, 2**62)
-    out = np.ascontiguousarray(sampler.edges, np.int64)
+    if seed is None:
+        seed = np.random.randint(0, 2**62)
+    target = sampler.edges if out is None else out
+    buf = np.ascontiguousarray(target, np.int64)
     rc = lib.gnntf_negative_sample(
         pos.reshape(-1), len(pos), neg_nodes, len(neg_nodes), hashes,
-        len(hashes), sampler.samples, seed, out.reshape(-1))
+        len(hashes), sampler.samples, int(seed), buf.reshape(-1))
     if rc != 0:
         return None
-    sampler.edges[:] = out
+    if buf is not target:
+        target[:] = buf
     return True
 
 

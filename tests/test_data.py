@@ -150,3 +150,16 @@ def test_custom_splits_string_labels():
     assert len(tr) == 3
     assert len(va) == 2 and len(te) == 3
     assert not (set(tr) & set(va)) and not (set(va) & set(te))
+
+
+def test_ingest_selftest(tmp_path):
+    """scripts/ingest.py round-trips planetoid raw files and OGB
+    npz/csv.gz fixtures into the exact caches the loaders read
+    (VERDICT r4 item 8)."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "gnntf_ingest", os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "scripts", "ingest.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.selftest(str(tmp_path))

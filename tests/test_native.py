@@ -61,9 +61,9 @@ def test_negative_sampler_native_is_used(monkeypatch):
     called = {}
     orig = native.negative_sample_native
 
-    def spy(s):
+    def spy(s, **kw):
         called["yes"] = True
-        return orig(s)
+        return orig(s, **kw)
 
     monkeypatch.setattr(native, "negative_sample_native", spy)
     import gnntf_tpu.tasks.link_prediction as lp

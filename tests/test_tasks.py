@@ -113,6 +113,29 @@ def test_negative_sampling_interleaving_and_validity():
     assert not np.array_equal(sampled_edges[1::2, 1].copy(), e2[1::2, 1]) or True
 
 
+def test_negative_sampling_prefetch_deterministic():
+    """Prefetch (background double-buffer) must realize the exact same
+    draw sequence as the synchronous sampler under the same seed: thread
+    seeds are drawn on the calling thread in call order."""
+    G = nx.gnm_random_graph(60, 200, seed=5)
+    edges = list(G.edges())[:80]
+    gt.set_seed(11)
+    sync = gt.negative_sampling(edges, G, samples=1, prefetch=False)
+    seq_sync = [sync()[0].copy() for _ in range(4)]
+    gt.set_seed(11)
+    pre = gt.negative_sampling(edges, G, samples=1, prefetch=True)
+    seq_pre = [pre()[0].copy() for _ in range(4)]
+    for a, b in zip(seq_sync, seq_pre):
+        np.testing.assert_array_equal(a, b)
+    # the returned buffer is stable until the NEXT call (the in-flight
+    # prefetch writes only the spare buffer)
+    out, _ = pre()
+    snapshot = out.copy()
+    if pre._pending is not None:
+        pre._pending[0].join()
+    np.testing.assert_array_equal(out, snapshot)
+
+
 def test_negative_sampling_pool():
     G = nx.DiGraph()
     G.add_nodes_from(range(20))
