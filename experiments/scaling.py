@@ -73,6 +73,74 @@ def bytes_moved_report(g, F, counts):
             hier_s = f"{'-':>12} {'-':>12}"
         print(f"{n:>3} {gspmd:>12,} {ringb:>12,} {halob:>12,} {hier_s}")
 
+def projection_report(g, F, counts, per_spmm_ms: float = 3.88):
+    """Analytic ICI/DCN time projection from the host-built plans
+    (VERDICT r4 item 4) — the communication time each executor would add
+    per SpMM on a v5e pod, against the measured single-chip prepared SpMM
+    (3.88 ms at the bench shape, documentation/performance.md).
+
+    Bandwidth model (public v5e figures, stated so the projection is
+    auditable): ICI ~186 GB/s per chip aggregate (1600 Gbps); DCN ~25
+    GB/s per host NIC, hosts = P/8 rounded up (a v5e host carries 8
+    chips), total DCN bytes split across host NICs.  Compute/comm overlap
+    is NOT assumed (worst case: serial)."""
+    from gnntf_tpu.parallel import (build_halo_partition,
+                                    build_hier_halo_partition,
+                                    build_ring_partition)
+    ICI = 186e9
+    DCN_PER_HOST = 25e9
+    fb = F * 4
+    print(f"\nanalytic projection (serial comm, v5e model: ICI 186 GB/s/chip,"
+          f" DCN 25 GB/s/host; single-chip SpMM {per_spmm_ms:.2f} ms):")
+    print(f"{'P':>3} {'executor':>10} {'ICI ms':>8} {'DCN ms':>8} "
+          f"{'comm ms':>8} {'serial eff':>10} {'overlap eff':>11}")
+    for n in counts:
+        if n < 2:
+            continue
+        hosts = max(1, n // 8)
+        compute = per_spmm_ms / n  # perfectly partitioned compute
+        rows = []
+        gspmd = 2 * (n - 1) / n * g.n_nodes * fb
+        # ring all-reduce on a multi-host ring: reduce-scatter +
+        # all-gather each push ~the full payload across every host cut
+        gspmd_dcn = (4 * g.n_nodes * fb * (hosts - 1) / hosts
+                     if hosts > 1 else 0.0)
+        rows.append(("gspmd", gspmd / ICI * 1e3,
+                     gspmd_dcn / (hosts * DCN_PER_HOST) * 1e3))
+        part_h = build_halo_partition(g, n)
+        halo_per_dev = (part_h.halo_size + part_h.hub_rows) * fb
+        if hosts > 1:
+            # flat all_to_all: ~ (hosts-1)/hosts of each device's halo
+            # crosses DCN, concentrated on the host NICs
+            dcn_total = part_h.n_parts * part_h.halo_size * fb \
+                * (hosts - 1) / hosts
+            rows.append(("halo-flat", halo_per_dev / ICI * 1e3,
+                         dcn_total / (hosts * DCN_PER_HOST) * 1e3))
+        else:
+            rows.append(("halo-flat", halo_per_dev / ICI * 1e3, 0.0))
+        if n % 8 == 0 and hosts >= 2:
+            hier = build_hier_halo_partition(g, hosts, n // hosts)
+            ici_per_dev = (hier.s1 + hier.s3 + hier.hub_rows) * fb
+            dcn_total = hier.n_hosts * hier.s2 * fb \
+                + hier.n_chips * hier.hub_rows * fb / max(1, hier.n_hosts)
+            rows.append(("halo-hier", ici_per_dev / ICI * 1e3,
+                         dcn_total / (hosts * DCN_PER_HOST) * 1e3))
+        part_r = build_ring_partition(g, n)
+        ring_per_dev = (n - 1) * part_r.rows_per_part * fb
+        # ring neighbor exchanges ride ICI except host-boundary hops
+        ring_dcn = ring_per_dev * (2 * (hosts - 1) / n if hosts > 1 else 0)
+        rows.append(("ring", ring_per_dev / ICI * 1e3,
+                     ring_dcn / DCN_PER_HOST * 1e3))
+        for name, ici_ms, dcn_ms in rows:
+            comm = ici_ms + dcn_ms
+            eff = compute / (compute + comm)
+            # halo/ring executors issue the exchange alongside the local
+            # aggregation; with perfect overlap the slower of the two wins
+            eff_ov = compute / max(compute, comm)
+            print(f"{n:>3} {name:>10} {ici_ms:>8.3f} {dcn_ms:>8.3f} "
+                  f"{comm:>8.3f} {eff*100:>9.1f}% {eff_ov*100:>10.1f}%")
+
+
 src, dst = random_power_law_edges(N, E, seed=0)
 g = from_edges(src, dst, n_nodes=N, directed=False)
 g = jax.jit(lambda g: normalize_adjacency(g, graph_dropout=0.0))(g)
@@ -105,7 +173,9 @@ def timed(fn, x):
 
 counts = [n for n in (1, 2, 4, 8, 16) if n <= len(devices)]
 if BYTES_MODE:
-    bytes_moved_report(g, F, counts)
+    # host-built plans need no devices — extend to pod-scale counts
+    bytes_moved_report(g, F, [2, 4, 8, 16, 32, 64])
+    projection_report(g, F, [2, 4, 8, 16, 32, 64])
     sys.exit(0)
 base = {}
 for name in ("halo", "ring"):
