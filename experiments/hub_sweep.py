@@ -22,8 +22,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-N_NODES = 169_343
-N_EDGES = 1_166_243
+N_NODES = int(os.environ.get("GNNTF_SWEEP_N", 169_343))
+N_EDGES = int(os.environ.get("GNNTF_SWEEP_E", 1_166_243))
 N_FEAT = 128
 ITERS = 10
 

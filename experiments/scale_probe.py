@@ -247,18 +247,136 @@ def main():
         xp0 = jnp.concatenate([x0, jnp.zeros((1, F), x0.dtype)], axis=0)
         run, arg = chain, xp0
     elif variant == "nohub":
-        # feedback chain with the hub matmul removed (pure ELL residual)
+        # feedback chain with the hub matmul removed (pure ELL residual);
+        # carry is the padded (N+1, F) buffer
         @hoisting_jit
-        def chain(h):
-            def body(i, h):
-                part = (h[idx] * vals[:, :, None]).sum(axis=1)
+        def chain(hp):
+            def body(i, hp):
+                part = (hp[idx] * vals[:, :, None]).sum(axis=1)
                 return jax.ops.segment_sum(part, vrow,
                                            num_segments=N + 1,
                                            indices_are_sorted=True)
-            hp = jnp.concatenate([h, jnp.zeros((1, F), h.dtype)], axis=0)
             return jax.lax.fori_loop(0, K, body, hp)
 
-        run, arg = chain, x0
+        xp0 = jnp.concatenate([x0, jnp.zeros((1, F), x0.dtype)], axis=0)
+        run, arg = chain, xp0
+    elif variant.startswith("pfull"):
+        # Packed rows, PLAIN row gather (the 2D-start-offset gather
+        # faults the TPU worker): operand (ceil((N+1)/P), P*F), gather
+        # full packed rows (P x the bytes), select the sub-row by folding
+        # a one-hot of (idx % P) into the value grid — the k-reduce runs
+        # over (k, P).  Tests the row-count hypothesis with only
+        # mainstream ops.
+        P = int(variant[len("pfull"):] or 2)
+        rows = -(-(N + 1) // P)
+        idx_np = np.asarray(idx)
+        i0 = jnp.asarray(idx_np // P, jnp.int32)                   # (V, k)
+        val_np = np.asarray(vals)                                  # (V, k)
+        v_cnt, k_w = idx_np.shape
+        val4 = np.zeros((v_cnt, k_w, P), np.float32)
+        sel = idx_np % P
+        np.put_along_axis(val4, sel[:, :, None], val_np[:, :, None],
+                          axis=2)
+        val4 = jnp.asarray(val4)
+
+        @hoisting_jit
+        def chain(packed):
+            def body(i, packed):
+                g = packed[i0].reshape(v_cnt, k_w, P, F)
+                part = (g * val4[:, :, :, None]).sum(axis=(1, 2))
+                out = jax.ops.segment_sum(part, vrow,
+                                          num_segments=rows * P,
+                                          indices_are_sorted=True)
+                return out.reshape(rows, P * F)
+            return jax.lax.fori_loop(0, K, body, packed)
+
+        xp0 = jnp.concatenate(
+            [x0, jnp.zeros((rows * P - N, F), x0.dtype)], axis=0)
+        run, arg = chain, xp0.reshape(rows, P * F)
+    elif variant.startswith("packed"):
+        # Packed-operand gather: reshape the (N+1, F) iterate to
+        # (ceil((N+1)/P), P*F) so the gather operand has P-fold fewer
+        # rows, and fetch each source row as a (1, F) slice at column
+        # offset (r % P) * F via lax.gather with 2D start indices.  Same
+        # bytes moved; tests whether the N-dependent per-row cost follows
+        # the operand's ROW COUNT.
+        P = int(variant[len("packed"):] or 4)
+        rows = -(-(N + 1) // P)
+        i0 = jnp.asarray(np.asarray(idx) // P, jnp.int32)          # (V, k)
+        i1 = jnp.asarray((np.asarray(idx) % P) * F, jnp.int32)
+        starts = jnp.stack([i0, i1], axis=-1)                      # (V, k, 2)
+        dnums = jax.lax.GatherDimensionNumbers(
+            offset_dims=(2,), collapsed_slice_dims=(0,),
+            start_index_map=(0, 1))
+
+        @hoisting_jit
+        def chain(packed):
+            def body(i, packed):
+                g = jax.lax.gather(
+                    packed, starts, dnums, slice_sizes=(1, F),
+                    mode=jax.lax.GatherScatterMode.CLIP)            # (V,k,F)
+                part = (g * vals[:, :, None]).sum(axis=1)
+                out = jax.ops.segment_sum(part, vrow,
+                                          num_segments=rows * P,
+                                          indices_are_sorted=True)
+                return out.reshape(rows, P * F)
+            return jax.lax.fori_loop(0, K, body, packed)
+
+        xp0 = jnp.concatenate(
+            [x0, jnp.zeros((rows * P - N, F), x0.dtype)], axis=0)
+        run, arg = chain, xp0.reshape(rows, P * F)
+    elif variant.startswith("colblock"):
+        # Column-blocked gather: partition SOURCE rows into S contiguous
+        # blocks; per block, gather only the edges whose source lies in
+        # the block from a dynamic_slice of the iterate (an operand with
+        # N/S rows), then sum the S partial outputs.  Layouts are
+        # host-built per block (separate ELL grids over the sub-edge
+        # sets).
+        barrier = False
+        if variant.startswith("colblockb"):
+            barrier = True
+            S = int(variant[len("colblockb"):] or 2)
+        else:
+            S = int(variant[len("colblock"):] or 2)
+        bs = -(-(N + 1) // S)
+        from gnntf_tpu.ops.spmm import build_ell
+        row_np = np.asarray(g.row)
+        col_np = np.asarray(g.col)
+        blocks = []
+        for s in range(S):
+            sel = (col_np >= s * bs) & (col_np < (s + 1) * bs)
+            bl = build_ell(row_np[sel], col_np[sel] - s * bs + 0, N,
+                           k=8, dedup=True)
+            # pad index rows point at local row bs (append a zero row)
+            bidx = np.where(bl.idx == N, bs, bl.idx)
+            blocks.append((jnp.asarray(bidx), jnp.asarray(bl.vrow_row),
+                           jnp.asarray(np.where(bidx == bs, 0.0, 1.0)
+                                       .astype(np.float32))))
+        @hoisting_jit
+        def chain(hp):
+            def body(i, hp):
+                out = jnp.zeros((N + 1, F), hp.dtype)
+                for s, (bidx, bvrow, bval) in enumerate(blocks):
+                    src = jax.lax.dynamic_slice(
+                        hp, (min(s * bs, N + 1 - bs), 0), (bs, F))
+                    srcp = jnp.concatenate(
+                        [src, jnp.zeros((1, F), src.dtype)], axis=0)
+                    if barrier:
+                        # force the slice to MATERIALIZE as a small
+                        # standalone buffer: without this XLA rewrites
+                        # gather(dynamic_slice(hp)) into a gather on the
+                        # full hp (offset folded into the indices), so
+                        # the operand never shrinks
+                        srcp = jax.lax.optimization_barrier(srcp)
+                    part = (srcp[bidx] * bval[:, :, None]).sum(axis=1)
+                    out = out + jax.ops.segment_sum(
+                        part, bvrow, num_segments=N + 1,
+                        indices_are_sorted=True)
+                return out
+            return jax.lax.fori_loop(0, K, body, hp)
+
+        xp0 = jnp.concatenate([x0, jnp.zeros((1, F), x0.dtype)], axis=0)
+        run, arg = chain, xp0
     elif variant == "noscatter":
         # feedback chain with the sorted segment-sum REPLACED by a cheap
         # reshape/slice back to (N+1, F): gather + k-reduce latency only.
