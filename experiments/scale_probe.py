@@ -69,6 +69,17 @@ def main():
     log(f"[{variant}] device={jax.devices()[0]} N={N} E={E} F={F} K={K}")
     src, dst = random_power_law_edges(N, E, seed=0)
     g = from_edges(src, dst, n_nodes=N, directed=False)
+    if variant.startswith("rcm-"):
+        # locality reorder ahead of the layout build (VERDICT r4 item 7):
+        # relabel nodes by reverse Cuthill-McKee, then run the requested
+        # variant on the permuted graph
+        from gnntf_tpu.graph.reorder import bandwidth, permute_graph, \
+            rcm_order
+        b0 = bandwidth(g)
+        g, _ = permute_graph(g, rcm_order(g))
+        log(f"[{variant}] RCM bandwidth {b0} -> {bandwidth(g)} "
+            f"(N={N})")
+        variant = variant[len("rcm-"):]
     normed = jax.jit(lambda g: normalize_adjacency(g, graph_dropout=0.0))(g)
     normed = dataclasses.replace(normed, row=g.row, col=g.col)
     prep = prepare_spmm(normed)

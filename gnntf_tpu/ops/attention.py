@@ -185,120 +185,161 @@ def _gat_attention_segment(graph, h, s_src, s_dst, *, negative_slope,
     return out.reshape(n, h_cnt, f)
 
 
-def _make_gat_core(grids: AttnGrids, negative_slope: float):
+def _make_gat_core(grids: AttnGrids, negative_slope: float, keep: float):
     """The recompute-VJP attention core for one graph structure.
 
-    Differentiable in (h, s_src, s_dst); the dropout scale grids ``m_r``
-    (row layout) and ``m_c`` (column layout) are inert inputs (zero
-    cotangent) — pass broadcastable ones when dropout is off.  Residuals
-    are (N, ·)-sized only; the backward re-gathers scores through both
-    grids and combines with SORTED segment sums (module docstring)."""
+    Differentiable in (h, s_src, s_dst); ``salt_f32`` is the dropout salt
+    bitcast to float32 (inert input, zero cotangent) — masks are
+    recomputed IN-FUSION from the constant edge-id grids, never
+    materialized.
+
+    **Layout rule (the r5 finding that makes GAT fast):** XLA:TPU pads
+    every materialized buffer's minor dimension to 128 (and the
+    second-minor to 8), so a (V, k, H=8) score array occupies 16x its
+    logical bytes — measured 1.64 GB for a 102 MB array — which is where
+    the old chain's 16 GB residual footprint and ~16x wasted HBM traffic
+    came from.  This core therefore materializes ONLY wide buffers:
+
+    * ONE combined gather per pass — the per-source row payload packs the
+      flattened head-features and the score half (width H*F + H), so the
+      gather output's minor dim is >= 64 and every narrow quantity is a
+      fused *view* of it;
+    * per-virtual-row reductions land in (V, H*F)/(V, k*H)-shaped 2D
+      buffers;
+    * residuals are the (N, ·) tables only; the backward re-gathers
+      through the row grid and the column twin (same combined-table
+      trick) and combines with SORTED segment sums — no scatter, no
+      (V, k, ·) residual, no remat.
+    """
     r_idx, r_vrow, r_eid = grids.r_idx, grids.r_vrow, grids.r_eid
     c_idx, c_vrow, c_eid = grids.c_idx, grids.c_vrow, grids.c_eid
     n = grids.n_nodes
     slope = negative_slope
-    pad_r = r_idx == n
+    pad_r = r_idx == n                        # (Vr, k) bool
     pad_c = c_idx == n
+    use_drop = keep < 1.0
 
-    def _row_scores(ssrc_p, s_dst):
-        pre = ssrc_p[r_idx] + s_dst[r_vrow][:, None, :]       # (Vr, k, H)
-        sg = jax.nn.leaky_relu(pre, negative_slope=slope)
-        return pre, sg
+    def _mask(eids, salt, h_cnt, dtype):
+        if not use_drop:
+            return None
+        return _attn_keep_scale(jnp.asarray(eids), salt, h_cnt, keep,
+                                dtype)
 
-    def fwd_impl(h, s_src, s_dst, m_r, m_c):
+    def _salt(salt_f32):
+        return jax.lax.bitcast_convert_type(salt_f32, jnp.uint32)
+
+    def _row_quantities(h, s_src, s_dst, salt_f32):
+        """The one row-grid gather + fused score pipeline shared by the
+        forward and the backward's row pass."""
         nn_, h_cnt, f = h.shape
-        ssrc_p = jnp.concatenate(
-            [s_src, jnp.zeros((1, h_cnt), s_src.dtype)], axis=0)
-        pre, sg = _row_scores(ssrc_p, s_dst)
-        neg = jnp.asarray(-jnp.inf, sg.dtype)
-        sg = jnp.where(pad_r[:, :, None], neg, sg)
+        w = h_cnt * f
+        table = jnp.concatenate([h.reshape(nn_, w), s_src], axis=1)
+        tp = jnp.concatenate(
+            [table, jnp.zeros((1, w + h_cnt), table.dtype)], axis=0)
+        G = tp[r_idx]                         # (Vr, k, W+H) — minor >= 64
+        gs = G[:, :, w:]                      # fused view (Vr, k, H)
+        pre = gs + s_dst[r_vrow][:, None, :]
+        sg = jax.nn.leaky_relu(pre, negative_slope=slope)
+        sg = jnp.where(pad_r[:, :, None], jnp.asarray(-jnp.inf, sg.dtype),
+                       sg)
+        m = _mask(r_eid, _salt(salt_f32), h_cnt, h.dtype)
+        return G, pre, sg, m
+
+    def fwd_impl(h, s_src, s_dst, salt_f32):
+        nn_, h_cnt, f = h.shape
+        w = h_cnt * f
+        G, pre, sg, m = _row_quantities(h, s_src, s_dst, salt_f32)
         vmax = sg.max(axis=1)                                 # (Vr, H)
         rmax = jax.ops.segment_max(vmax, r_vrow, num_segments=n,
                                    indices_are_sorted=True)
         rmax0 = jnp.where(jnp.isfinite(rmax), rmax, 0.0)
         eg = jnp.exp(sg - rmax0[r_vrow][:, None, :])
-        eg = jnp.where(pad_r[:, :, None], 0.0, eg)            # (Vr, k, H)
+        eg = jnp.where(pad_r[:, :, None], 0.0, eg)
         denom = jax.ops.segment_sum(eg.sum(axis=1), r_vrow, num_segments=n,
                                     indices_are_sorted=True)
         dinv = 1.0 / jnp.maximum(denom, 1e-30)                # (N, H)
-        alpha = eg * dinv[r_vrow][:, None, :] * m_r
-        hp = jnp.concatenate(
-            [h.reshape(nn_, h_cnt * f),
-             jnp.zeros((1, h_cnt * f), h.dtype)], axis=0)
-        msgs = hp[r_idx].reshape(-1, r_idx.shape[1], h_cnt, f) \
-            * alpha[:, :, :, None].astype(h.dtype)
-        part = msgs.sum(axis=1).reshape(-1, h_cnt * f)
+        alpha = eg * dinv[r_vrow][:, None, :]
+        if m is not None:
+            alpha = alpha * m
+        gh = G[:, :, :w].reshape(-1, r_idx.shape[1], h_cnt, f)
+        part = (gh * alpha[:, :, :, None].astype(h.dtype)).sum(axis=1)
+        part = part.reshape(-1, w)                            # (Vr, W)
         out = jax.ops.segment_sum(part, r_vrow, num_segments=n,
                                   indices_are_sorted=True)
         return out.reshape(n, h_cnt, f), (rmax0, dinv)
 
     @jax.custom_vjp
-    def core(h, s_src, s_dst, m_r, m_c):
-        return fwd_impl(h, s_src, s_dst, m_r, m_c)[0]
+    def core(h, s_src, s_dst, salt_f32):
+        return fwd_impl(h, s_src, s_dst, salt_f32)[0]
 
-    def fwd(h, s_src, s_dst, m_r, m_c):
-        out, (rmax0, dinv) = fwd_impl(h, s_src, s_dst, m_r, m_c)
-        return out, (h, s_src, s_dst, rmax0, dinv, m_r, m_c)
+    def fwd(h, s_src, s_dst, salt_f32):
+        out, (rmax0, dinv) = fwd_impl(h, s_src, s_dst, salt_f32)
+        return out, (h, s_src, s_dst, rmax0, dinv, salt_f32)
 
     def bwd(res, g):
-        h, s_src, s_dst, rmax0, dinv, m_r, m_c = res
+        h, s_src, s_dst, rmax0, dinv, salt_f32 = res
         nn_, h_cnt, f = h.shape
-        gf = g.reshape(nn_, h_cnt * f)
+        w = h_cnt * f
+        gf = g.reshape(nn_, w)
 
         # -- row-grid pass: softmax row-dot + ds_dst ----------------------
-        ssrc_p = jnp.concatenate(
-            [s_src, jnp.zeros((1, h_cnt), s_src.dtype)], axis=0)
-        pre, sg = _row_scores(ssrc_p, s_dst)
+        G, pre, sg, m = _row_quantities(h, s_src, s_dst, salt_f32)
         eg = jnp.exp(sg - rmax0[r_vrow][:, None, :])
         eg = jnp.where(pad_r[:, :, None], 0.0, eg)
         alpha = eg * dinv[r_vrow][:, None, :]                 # pre-dropout
-        hp = jnp.concatenate(
-            [h.reshape(nn_, h_cnt * f),
-             jnp.zeros((1, h_cnt * f), h.dtype)], axis=0)
-        hg = hp[r_idx].reshape(-1, r_idx.shape[1], h_cnt, f)
-        gv = gf[r_vrow].reshape(-1, 1, h_cnt, f)
-        dalpha = (hg * gv).sum(axis=-1) * m_r                 # (Vr, k, H)
-        w = alpha * dalpha
-        rowdot = jax.ops.segment_sum(w.sum(axis=1), r_vrow, num_segments=n,
+        gh = G[:, :, :w].reshape(-1, r_idx.shape[1], h_cnt, f)
+        gv = gf[r_vrow].reshape(-1, 1, h_cnt, f)              # (Vr,1,H,F)
+        dalpha = (gh * gv).sum(axis=-1)                       # (Vr, k, H)
+        if m is not None:
+            dalpha = dalpha * m
+        wgt = alpha * dalpha
+        rowdot = jax.ops.segment_sum(wgt.sum(axis=1), r_vrow,
+                                     num_segments=n,
                                      indices_are_sorted=True)  # (N, H)
-        dsig = w - alpha * rowdot[r_vrow][:, None, :]
+        dsig = wgt - alpha * rowdot[r_vrow][:, None, :]
         dpre = dsig * jnp.where(pre > 0, 1.0, slope)
         ds_dst = jax.ops.segment_sum(dpre.sum(axis=1), r_vrow,
                                      num_segments=n,
                                      indices_are_sorted=True)
 
         # -- column-grid pass (transpose): dh + ds_src --------------------
-        zed = jnp.zeros((1, h_cnt), s_dst.dtype)
-        sdst_p = jnp.concatenate([s_dst, zed], axis=0)
-        rmax0_p = jnp.concatenate([rmax0, zed], axis=0)
-        dinv_p = jnp.concatenate([dinv, jnp.zeros((1, h_cnt), dinv.dtype)],
-                                 axis=0)
-        rowdot_p = jnp.concatenate(
-            [rowdot, jnp.zeros((1, h_cnt), rowdot.dtype)], axis=0)
-        gp = jnp.concatenate(
-            [gf, jnp.zeros((1, h_cnt * f), gf.dtype)], axis=0)
-
-        pre_c = s_src[c_vrow][:, None, :] + sdst_p[c_idx]     # (Vc, k, H)
+        # ONE combined gather of every per-destination quantity: the
+        # upstream gradient (W cols) + s_dst + rmax0 + dinv + rowdot
+        # (H cols each) — minor dim W+4H
+        zh = jnp.zeros((1, h_cnt), s_dst.dtype)
+        tc = jnp.concatenate([gf, s_dst, rmax0, dinv, rowdot], axis=1)
+        tcp = jnp.concatenate(
+            [tc, jnp.zeros((1, tc.shape[1]), tc.dtype)], axis=0)
+        Gc = tcp[c_idx]                       # (Vc, k, W+4H)
+        gc = Gc[:, :, :w].reshape(-1, c_idx.shape[1], h_cnt, f)
+        sd_c = Gc[:, :, w:w + h_cnt]
+        rmax_c = Gc[:, :, w + h_cnt:w + 2 * h_cnt]
+        dinv_c = Gc[:, :, w + 2 * h_cnt:w + 3 * h_cnt]
+        rowdot_c = Gc[:, :, w + 3 * h_cnt:]
+        pre_c = s_src[c_vrow][:, None, :] + sd_c              # (Vc, k, H)
         sg_c = jax.nn.leaky_relu(pre_c, negative_slope=slope)
-        eg_c = jnp.exp(sg_c - rmax0_p[c_idx])
+        eg_c = jnp.exp(sg_c - rmax_c)
         eg_c = jnp.where(pad_c[:, :, None], 0.0, eg_c)
-        alpha_c = eg_c * dinv_p[c_idx]
-        gc = gp[c_idx].reshape(-1, c_idx.shape[1], h_cnt, f)
+        alpha_c = eg_c * dinv_c
+        m_c = _mask(c_eid, _salt(salt_f32), h_cnt, h.dtype)
+        alpha_ct = alpha_c * m_c if m_c is not None else alpha_c
         # dh[c] = sum_e alpha~_e g[row_e]
-        dh_part = (gc * (alpha_c * m_c)[:, :, :, None].astype(gc.dtype)) \
-            .sum(axis=1).reshape(-1, h_cnt * f)
+        dh_part = (gc * alpha_ct[:, :, :, None].astype(gc.dtype)) \
+            .sum(axis=1).reshape(-1, w)
         dh = jax.ops.segment_sum(dh_part, c_vrow, num_segments=n,
                                  indices_are_sorted=True)
         dh = dh.reshape(nn_, h_cnt, f)
-        hv = h.reshape(nn_, h_cnt * f)[c_vrow].reshape(-1, 1, h_cnt, f)
-        dalpha_c = (hv * gc).sum(axis=-1) * m_c
+        hv = h.reshape(nn_, w)[c_vrow].reshape(-1, 1, h_cnt, f)
+        dalpha_c = (hv * gc).sum(axis=-1)
+        if m_c is not None:
+            dalpha_c = dalpha_c * m_c
         w_c = alpha_c * dalpha_c
-        dsig_c = w_c - alpha_c * rowdot_p[c_idx]
+        dsig_c = w_c - alpha_c * rowdot_c
         dpre_c = dsig_c * jnp.where(pre_c > 0, 1.0, slope)
         ds_src = jax.ops.segment_sum(dpre_c.sum(axis=1), c_vrow,
                                      num_segments=n,
                                      indices_are_sorted=True)
-        return dh, ds_src, ds_dst, jnp.zeros_like(m_r), jnp.zeros_like(m_c)
+        return dh, ds_src, ds_dst, jnp.zeros_like(salt_f32)
 
     core.defvjp(fwd, bwd)
     return core
@@ -306,31 +347,29 @@ def _make_gat_core(grids: AttnGrids, negative_slope: float):
 
 def _gat_attention_ell(graph, h, s_src, s_dst, *, negative_slope,
                        attn_dropout, salt):
+    keep = 1.0 - attn_dropout if (attn_dropout and salt is not None) \
+        else 1.0
     grids = _attn_grids(graph)
-    core = _gat_core(grids, negative_slope)
-    if attn_dropout and salt is not None:
-        keep = 1.0 - attn_dropout
-        h_cnt = h.shape[1]
-        m_r = _attn_keep_scale(jnp.asarray(grids.r_eid), salt, h_cnt,
-                               keep, h.dtype)
-        m_c = _attn_keep_scale(jnp.asarray(grids.c_eid), salt, h_cnt,
-                               keep, h.dtype)
+    core = _gat_core(grids, negative_slope, keep)
+    if salt is not None and keep < 1.0:
+        salt_f32 = jax.lax.bitcast_convert_type(
+            salt.astype(jnp.uint32), jnp.float32)
     else:
-        m_r = jnp.ones((1, 1, 1), h.dtype)
-        m_c = jnp.ones((1, 1, 1), h.dtype)
-    return core(h, s_src, s_dst, m_r, m_c)
+        salt_f32 = jnp.zeros((2,), jnp.float32)
+    return core(h, s_src, s_dst, salt_f32)
 
 
 _CORE_CACHE = {}
 
 
-def _gat_core(grids: AttnGrids, negative_slope: float):
-    """Memoized core per (grids identity, slope) — keeps the custom-VJP
-    function object stable so jit caches hit across layers/steps."""
-    key = (id(grids), float(negative_slope))
+def _gat_core(grids: AttnGrids, negative_slope: float, keep: float):
+    """Memoized core per (grids identity, slope, keep) — keeps the
+    custom-VJP function object stable so jit caches hit across
+    layers/steps."""
+    key = (id(grids), float(negative_slope), float(keep))
     hit = _CORE_CACHE.get(key)
     if hit is not None and hit[0] is grids:
         return hit[1]
-    core = _make_gat_core(grids, negative_slope)
+    core = _make_gat_core(grids, negative_slope, keep)
     _CORE_CACHE[key] = (grids, core)
     return core
