@@ -136,6 +136,37 @@ def main():
     t_pre, params, opt_state = run_epochs(task_pre, EPOCHS, params,
                                           opt_state, "epoch (prefetch)")
 
+    # 4. device-resident batch: no sampling, no host->device edge
+    # transfer — isolates the pure device step (the difference to phase 3
+    # is the per-epoch batch upload + dispatch, which on the remote
+    # tunnel is a development-environment cost, not a kernel cost)
+    import jax as _jax
+    task_static = gt.LinkPrediction(np.asarray(task_pre.edges),
+                                    labels=np.asarray(task_pre.labels),
+                                    loss="diff")
+    static_batch = tuple(_jax.device_put(b) if b is not None else None
+                         for b in task_static.batch())
+
+    @hoisting_jit
+    def step_static(params, opt_state, rng_e):
+        loss, grads = jax.value_and_grad(
+            lambda p: _total_loss(model, task_static, p, model.features,
+                                  rng_e, static_batch, 5e-4))(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    params, opt_state, loss = step_static(params, opt_state,
+                                          jax.random.PRNGKey(0))
+    _ = float(loss)
+    t0 = time.perf_counter()
+    for e in range(EPOCHS):
+        params, opt_state, loss = step_static(params, opt_state,
+                                              jax.random.PRNGKey(e + 1))
+        _ = float(loss)
+    t_step = (time.perf_counter() - t0) / EPOCHS
+    log(f"device step only (static batch): {t_step*1e3:.1f} ms/epoch")
+
     n_rows = int(sampler_sync.edges.shape[0])
     dev = jax.devices()[0]
     print(json.dumps({
@@ -145,6 +176,7 @@ def main():
         "sampler_ms": round(t_sample * 1e3, 2),
         "epoch_sync_ms": round(t_sync * 1e3, 2),
         "epoch_prefetch_ms": round(t_pre * 1e3, 2),
+        "device_step_ms": round(t_step * 1e3, 2),
         "overlap_gain_ms": round((t_sync - t_pre) * 1e3, 2),
         "scored_edges_per_s": round(n_rows / t_pre),
         "backend": getattr(dev, "platform", "unknown"),

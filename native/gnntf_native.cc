@@ -12,6 +12,7 @@
 #include <cstring>
 #include <vector>
 #include <algorithm>
+#include <unordered_map>
 
 extern "C" {
 
@@ -41,8 +42,63 @@ static inline bool has_edge(const uint64_t *hashes, int64_t n, uint64_t key) {
 // edges layout per positive p: row (u,v) then `samples` rows (u, _).
 // Negatives are drawn uniformly from neg_nodes, rejecting self loops,
 // the paired positive v, and members of the (symmetrized, sorted) edge set.
-// Returns 0 on success, -1 if rejection failed to terminate (degenerate
-// graphs where a node is adjacent to every candidate — caller falls back).
+// Returns 0 on success, -1 only if some node is adjacent to EVERY
+// candidate (no valid negative exists — caller falls back).
+//
+// Hub robustness: a power-law hub can be adjacent to >97% of all nodes
+// (measured on the ogbn-arxiv-scale bench graph), so a small try cap
+// makes the whole call fail exactly on the graphs that need the C path
+// most.  Random rejection therefore gets a cap high enough that failure
+// is astronomically unlikely at any acceptance rate the linear probe
+// couldn't serve better (p_accept 2.6% -> P(fail) ~ 1e-47 at 4096
+// tries), and on exhaustion a bounded linear probe from a random start
+// finds a valid candidate whenever one exists.
+// Complement cache for DENSE sources (power-law hubs): a hub adjacent to
+// >90% of candidates makes random rejection pay ~1/(1-frac) tries per
+// draw with a ~100 ns hash probe each — the hub's hundreds of thousands
+// of positives then dominate the whole call.  For sources appearing
+// >= kDenseCount times, build the complement of the neighbor set over
+// neg_nodes ONCE (the source's neighbors are one contiguous block of the
+// sorted hash array) and draw its negatives uniformly from it in O(1).
+namespace {
+// complement pays off when (a) the source recurs enough to amortize the
+// O(N) build and (b) its neighbor set covers enough of the candidates
+// that rejection is expensive; (b) also bounds total complement memory
+// (sum of neighbor sets <= 2E, so at most 2E/(n_neg/2) sources qualify)
+constexpr int64_t kDenseMinCount = 64;
+
+struct Complement {
+  bool dense = false;          // neighbor set covers >= half of neg_nodes
+  std::vector<int64_t> nodes;  // valid negatives (only when dense)
+};
+
+static void build_complement(int64_t u, const int64_t *neg_nodes,
+                             int64_t n_neg, const uint64_t *edge_hashes,
+                             int64_t n_hashes, std::vector<char> &mark,
+                             int64_t mark_n, Complement &out) {
+  std::fill(mark.begin(), mark.end(), 0);
+  const uint64_t lo_key = static_cast<uint64_t>(u) << 32;
+  // lower_bound over the sorted hashes for u's contiguous block
+  int64_t lo = 0, hi = n_hashes;
+  while (lo < hi) {
+    int64_t mid = (lo + hi) >> 1;
+    if (edge_hashes[mid] < lo_key) lo = mid + 1; else hi = mid;
+  }
+  for (; lo < n_hashes && (edge_hashes[lo] >> 32) ==
+           static_cast<uint64_t>(u); ++lo) {
+    const int64_t v = static_cast<int64_t>(
+        edge_hashes[lo] & 0xffffffffULL);
+    if (v >= 0 && v < mark_n) mark[v] = 1;
+  }
+  out.nodes.clear();
+  for (int64_t j = 0; j < n_neg; ++j) {
+    const int64_t cand = neg_nodes[j];
+    if (cand != u && (cand < 0 || cand >= mark_n || !mark[cand]))
+      out.nodes.push_back(cand);
+  }
+}
+}  // namespace
+
 int64_t gnntf_negative_sample(
     const int64_t *pos_edges, int64_t n_pos,
     const int64_t *neg_nodes, int64_t n_neg,
@@ -51,13 +107,60 @@ int64_t gnntf_negative_sample(
   if (n_neg <= 0) return -1;
   uint64_t state = seed * 0x9e3779b97f4a7c15ULL + 1;
   int64_t i = 0;
-  const int64_t max_tries = 64 + 16 * (n_hashes / (n_neg > 0 ? n_neg : 1) + 1);
+  const int64_t max_tries = 4096;
+  // count source multiplicity to find dense sources worth a complement
+  int64_t max_node = 0;
+  for (int64_t p = 0; p < n_pos; ++p)
+    if (pos_edges[2 * p] > max_node) max_node = pos_edges[2 * p];
+  for (int64_t j = 0; j < n_neg; ++j)
+    if (neg_nodes[j] > max_node) max_node = neg_nodes[j];
+  std::vector<int32_t> src_count(static_cast<size_t>(max_node) + 1, 0);
+  for (int64_t p = 0; p < n_pos; ++p) ++src_count[pos_edges[2 * p]];
+  std::vector<char> mark(static_cast<size_t>(max_node) + 1, 0);
+  std::unordered_map<int64_t, Complement> comps;
   for (int64_t p = 0; p < n_pos; ++p) {
     const int64_t u = pos_edges[2 * p];
     const int64_t v = pos_edges[2 * p + 1];
     edges_out[2 * i] = u;
     edges_out[2 * i + 1] = v;
     ++i;
+    const Complement *comp = nullptr;
+    if (src_count[u] >= kDenseMinCount) {
+      auto it = comps.find(u);
+      if (it == comps.end()) {
+        // dense test: u's neighbor block covers >= half the candidates
+        const uint64_t lo_key = static_cast<uint64_t>(u) << 32;
+        const uint64_t hi_key = static_cast<uint64_t>(u + 1) << 32;
+        const uint64_t *b = std::lower_bound(edge_hashes,
+                                             edge_hashes + n_hashes,
+                                             lo_key);
+        const uint64_t *e = std::lower_bound(b, edge_hashes + n_hashes,
+                                             hi_key);
+        Complement c;
+        if ((e - b) * 2 >= n_neg) {
+          c.dense = true;
+          build_complement(u, neg_nodes, n_neg, edge_hashes, n_hashes,
+                           mark, max_node + 1, c);
+        }
+        it = comps.emplace(u, std::move(c)).first;
+      }
+      if (it->second.dense) {
+        if (it->second.nodes.empty()) return -1;  // no valid negative
+        comp = &it->second;
+      }
+    }
+    if (comp != nullptr) {
+      for (int64_t s = 0; s < samples; ++s) {
+        int64_t vneg;
+        do {
+          vneg = comp->nodes[splitmix64(state) % comp->nodes.size()];
+        } while (vneg == v && comp->nodes.size() > 1);
+        edges_out[2 * i] = u;
+        edges_out[2 * i + 1] = vneg;
+        ++i;
+      }
+      continue;
+    }
     for (int64_t s = 0; s < samples; ++s) {
       int64_t vneg = -1;
       int64_t tries = 0;
@@ -66,7 +169,25 @@ int64_t gnntf_negative_sample(
         if (vneg != u && vneg != v &&
             !has_edge(edge_hashes, n_hashes, edge_key(u, vneg)))
           break;
-        if (++tries > max_tries) return -1;
+        if (++tries > max_tries) {
+          // linear probe from a random start: O(n_neg) worst case,
+          // succeeds iff any valid candidate exists
+          const uint64_t start = splitmix64(state)
+              % static_cast<uint64_t>(n_neg);
+          int64_t found = -1;
+          for (int64_t j = 0; j < n_neg; ++j) {
+            const int64_t cand =
+                neg_nodes[(start + static_cast<uint64_t>(j)) % n_neg];
+            if (cand != u && cand != v &&
+                !has_edge(edge_hashes, n_hashes, edge_key(u, cand))) {
+              found = cand;
+              break;
+            }
+          }
+          if (found < 0) return -1;
+          vneg = found;
+          break;
+        }
       }
       edges_out[2 * i] = u;
       edges_out[2 * i + 1] = vneg;
