@@ -288,3 +288,26 @@ def test_legacy_executor_still_gets_materialized_values(monkeypatch):
     assert seen["dropped"] is False  # realized draw, not lazy fields
     expect = stochastic.materialize_dropped(lazy)
     np.testing.assert_allclose(np.asarray(seen["val"]), np.asarray(expect))
+
+
+def test_program_cache_is_bounded_and_stats_aggregate(monkeypatch):
+    """hoisting_jit retains at most MAX_PROGRAMS signatures (LRU) and
+    n_hoisted/hoisted_bytes aggregate over retained programs (advisor r4:
+    unbounded per-signature retention pinned hoisted consts forever and
+    the stats silently reported only the first signature)."""
+    from gnntf_tpu.ops import hoist
+
+    monkeypatch.setattr(hoist, "MAX_PROGRAMS", 3)
+    big = np.arange(8192, dtype=np.float32)  # > MIN_HOIST_BYTES
+
+    fn = hoist.hoisting_jit(lambda x: x.sum() + jnp.asarray(big).sum())
+    for n in (4, 8, 16):
+        fn(jnp.ones((n,), jnp.float32))
+    assert len(fn._programs) == 3
+    assert fn.n_hoisted == 3                      # one big const each
+    assert fn.hoisted_bytes() == 3 * big.nbytes
+    fn(jnp.ones((32,), jnp.float32))              # evicts the oldest
+    assert len(fn._programs) == 3
+    # the first signature was evicted; re-calling it re-traces (still works)
+    out = fn(jnp.ones((4,), jnp.float32))
+    assert np.isfinite(float(out))
