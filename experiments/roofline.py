@@ -114,9 +114,12 @@ def train_epoch_report(per_spmm_s):
         "GCNII-64": lambda: gt.GCNII(g, feats, num_classes=n_classes,
                                      iterations=64),
         "GAT": lambda: gt.GAT(g, feats, num_classes=n_classes),
+        "SAGE": lambda: gt.GraphSAGE(g, feats, num_classes=n_classes),
+        "GIN": lambda: gt.GIN(g, feats, num_classes=n_classes),
     }
     # propagation layers per epoch phase (train fwd / bwd dx / eval fwd)
-    spmm_layers = {"APPNP": 10, "GCN": 2, "GCNII-64": 64, "GAT": 2}
+    spmm_layers = {"APPNP": 10, "GCN": 2, "GCNII-64": 64, "GAT": 2,
+                   "SAGE": 2, "GIN": 2}
     only = os.environ.get("GNNTF_ROOFLINE_MODELS")
     if only:
         keep = {m.strip() for m in only.split(",")}
