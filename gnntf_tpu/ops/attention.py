@@ -99,13 +99,25 @@ def _route_eids(layout, n_edges: int) -> np.ndarray:
     return grid.reshape(layout.n_vrows, layout.k)
 
 
+def _attn_k() -> int:
+    """Row-split width of the attention grids (``GNNTF_ATTN_K``, default
+    16).  The attention chain's per-virtual-row work (segment max/sum
+    combines over (V, H) tables, three per pass) is heavier relative to
+    its per-slot work than the SpMM's, so its optimum sits at a wider k
+    than the SpMM's k=8: measured GAT bench epochs 365 / 208 / 185 /
+    275 ms at k=4/8/16/32 (documentation/performance.md)."""
+    import os
+    return int(os.environ.get("GNNTF_ATTN_K", 16))
+
+
 def build_attn_grids(row, col, n_nodes: int) -> AttnGrids:
-    from .spmm import _ELL_DEFAULT_K, build_ell
+    from .spmm import build_ell
     row = np.asarray(row, np.int64)
     col = np.asarray(col, np.int64)
     e = row.shape[0]
-    rl = build_ell(row, col, n_nodes, _ELL_DEFAULT_K, dedup=False)
-    cl = build_ell(col, row, n_nodes, _ELL_DEFAULT_K, dedup=False)
+    k = _attn_k()
+    rl = build_ell(row, col, n_nodes, k, dedup=False)
+    cl = build_ell(col, row, n_nodes, k, dedup=False)
     return AttnGrids(n_nodes=n_nodes,
                      r_idx=rl.idx, r_vrow=rl.vrow_row,
                      r_eid=_route_eids(rl, e),
@@ -121,7 +133,8 @@ def _attn_grids(graph: Graph) -> AttnGrids:
     global _ATTN_CACHE
     if _ATTN_CACHE is None:
         _ATTN_CACHE = IdLRU()
-    key = ("attn-grids", id(graph.row), id(graph.col), graph.n_nodes)
+    key = ("attn-grids", id(graph.row), id(graph.col), graph.n_nodes,
+           _attn_k())
     anchors = (graph.row, graph.col)
     grids = _ATTN_CACHE.get(key, anchors)
     if grids is None:
