@@ -193,6 +193,30 @@ class LinkPrediction(Predictor):
         return self.edge_sampler is None and \
             self.batch_size >= self.edges.shape[0]
 
+    @property
+    def supports_stacking(self) -> bool:
+        """Sampled tasks with static per-epoch SHAPES can pre-draw a block
+        of epochs and hand the trainer a stacked batch to scan over
+        (train/trainer._fit_fused) — the per-epoch host round-trip then
+        amortizes over the block exactly like the static-task fused path."""
+        return self.edge_sampler is not None
+
+    def stack_batches(self, n: int):
+        """Draw ``n`` epochs' batches and stack them with a leading epoch
+        axis: ``(edges (n, B, 2) int32, labels (n, B) or None)``."""
+        edges, labels = [], []
+        for _ in range(n):
+            self.refresh()
+            e = self.edges
+            l = self.labels
+            if self._batch_idx is not None:
+                e = e[self._batch_idx]
+                l = None if l is None else l[self._batch_idx]
+            edges.append(np.asarray(e, np.int32).copy())
+            labels.append(None if l is None else np.asarray(l, np.float32))
+        return (jnp.asarray(np.stack(edges)),
+                None if labels[0] is None else jnp.asarray(np.stack(labels)))
+
     # -- host-side state ----------------------------------------------------
     def refresh(self):
         if self.edge_sampler is not None:

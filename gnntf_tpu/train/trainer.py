@@ -393,9 +393,14 @@ def fit(model: Trainable, train: Predictor, valid: Optional[Predictor] = None,
     # Fused multi-epoch scan: local AND distributed (r5 — the GSPMD step
     # is shape-static, and halo/ring executors shard_map inside the scan;
     # previously `mesh is None` was required, so multi-chip training paid
-    # per-epoch host dispatch that single-chip no longer did).
+    # per-epoch host dispatch that single-chip no longer did).  Sampled
+    # tasks with static shapes (negative-sampling link prediction) fuse
+    # too on the local path: the block's batches are pre-drawn on host
+    # and scanned over (Predictor.stack_batches).
+    train_stackable = (not train.static and mesh is None
+                       and getattr(train, "supports_stacking", False))
     use_fused = (block_epochs > 1 and batches == 1 and not verbose
-                 and train.static and valid.static)
+                 and (train.static or train_stackable) and valid.static)
     if use_fused:
         return _fit_fused(
             model, train, valid, train_step_raw, eval_acts_raw, params,
@@ -478,10 +483,17 @@ def _fit_fused(model, train, valid, train_step, eval_acts, params, opt_state,
     ``lax.scan`` — identical early-stopping semantics to the host loop
     (a ``stopped`` flag gates all state updates past the patience
     exhaustion point, so trailing epochs of the final block cannot leak
-    into the result), at 1/block_epochs the dispatch cost.  Used for
-    static-batch tasks; samplers and verbose mode take the host loop."""
-    train.refresh()
-    tb = train.batch()
+    into the result), at 1/block_epochs the dispatch cost.  Static-batch
+    tasks close over one batch; sampled tasks with static shapes
+    (``supports_stacking``) pre-draw the block's batches on host and scan
+    over the stack — one upload per block instead of per epoch.  Verbose
+    mode takes the host loop."""
+    stacked = not train.static
+    if not stacked:
+        train.refresh()
+        tb = train.batch()
+    else:
+        tb = None
     valid.refresh()
     vb = valid.batch()
 
@@ -494,20 +506,28 @@ def _fit_fused(model, train, valid, train_step, eval_acts, params, opt_state,
 
     @hoisting_jit
     def run_block(params, opt_state, best_params, min_loss, patience_rem,
-                  stopped, rngs, degs, *env):
-        env = env if fused_env is not None else None
+                  stopped, rngs, degs, *extra):
+        if stacked:
+            batch_stack, env = extra[0], (extra[1:] or None)
+        else:
+            batch_stack, env = None, (extra if fused_env is not None
+                                      else None)
 
         def body(carry, inp):
             params, opt_state, best_params, min_loss, patience_rem, stopped \
                 = carry
-            rng, deg = inp
+            if stacked:
+                rng, deg, tb_e = inp
+            else:
+                rng, deg = inp
+                tb_e = tb
             if env is not None:
                 new_params, new_opt, loss = train_step(params, opt_state,
-                                                       rng, deg, tb, env)
+                                                       rng, deg, tb_e, env)
                 acts_of = lambda p: eval_acts(p, env)
             else:
                 new_params, new_opt, loss = train_step(params, opt_state,
-                                                       rng, deg, tb)
+                                                       rng, deg, tb_e)
                 acts_of = eval_acts
             params = _tree_where(stopped, params, new_params)
             opt_state = _tree_where(stopped, opt_state, new_opt)
@@ -525,7 +545,8 @@ def _fit_fused(model, train, valid, train_step, eval_acts, params, opt_state,
 
         carry = (params, opt_state, best_params, min_loss, patience_rem,
                  stopped)
-        carry, outs = jax.lax.scan(body, carry, (rngs, degs))
+        xs = (rngs, degs, batch_stack) if stacked else (rngs, degs)
+        carry, outs = jax.lax.scan(body, carry, xs)
         return carry, outs
 
     min_loss = jnp.asarray(min_loss, jnp.float32)
@@ -540,6 +561,8 @@ def _fit_fused(model, train, valid, train_step, eval_acts, params, opt_state,
                             for e in range(epoch, epoch + n)], jnp.float32)
         best_before_block = float(min_loss)
         extra = fused_env if fused_env is not None else ()
+        if stacked:
+            extra = (train.stack_batches(n),) + extra
         (params, opt_state, best_params, min_loss, patience_rem, stopped), \
             (losses, vlosses, improveds) = run_block(
                 params, opt_state, best_params, min_loss, patience_rem,

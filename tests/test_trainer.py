@@ -222,3 +222,36 @@ class TestRemat:
         with pytest.raises(ValueError, match="add_loss"):
             model.train(train=task, epochs=2, patience=5, seed=0,
                         remat=True)
+
+
+def test_fused_sampled_link_prediction_matches_host_loop(small_dataset):
+    """r5: sampled tasks with static shapes fuse via stacked batches
+    (Predictor.stack_batches) — the block pre-draws the sampler in the
+    same call order as the host loop, so the trajectory matches."""
+    import networkx as nx
+
+    G, labels, features, train, valid, test = small_dataset
+    adj = gt.graph2adj(G)
+    edges = [tuple(e) for e in list(G.edges())[:120]]
+
+    def run(block_epochs):
+        gt.set_seed(3)
+        m = gt.APPNP(adj, features, num_classes=8, iterations=3)
+        sampler = gt.negative_sampling(edges, G, samples=1, prefetch=False)
+        task = gt.LinkPrediction(sampler, loss="diff")
+        assert task.supports_stacking and not task.static
+        vtask = gt.LinkPrediction(np.asarray(edges),
+                                  labels=np.ones(len(edges), np.float32),
+                                  loss="bce")
+        h = m.train(train=task, valid=vtask, epochs=12, patience=6,
+                    seed=5, block_epochs=block_epochs)
+        return h
+
+    h_host = run(1)
+    h_fused = run(4)
+    k = len(h_host["train_loss"])  # fused blocks record gated post-stop
+    np.testing.assert_allclose(h_fused["train_loss"][:k],
+                               h_host["train_loss"], rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(h_fused["valid_loss"][:k],
+                               h_host["valid_loss"], rtol=2e-5, atol=1e-6)
+    assert h_fused["best_epoch"] == h_host["best_epoch"]
