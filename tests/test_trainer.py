@@ -228,7 +228,6 @@ def test_fused_sampled_link_prediction_matches_host_loop(small_dataset):
     """r5: sampled tasks with static shapes fuse via stacked batches
     (Predictor.stack_batches) — the block pre-draws the sampler in the
     same call order as the host loop, so the trajectory matches."""
-    import networkx as nx
 
     G, labels, features, train, valid, test = small_dataset
     adj = gt.graph2adj(G)
