@@ -79,10 +79,19 @@ def _attn_keep_scale(eids: jax.Array, salt: jax.Array, n_heads: int,
 
 @dataclasses.dataclass(frozen=True)
 class AttnGrids:
-    """Per-original-edge row-split ELL grids of one graph structure, both
-    orientations (the ``TrainGrids`` shape, ops/stochastic.py): row grid
-    for the forward aggregation, column twin for the backward transpose.
-    Leaves are numpy on purpose (trace-safe constants; see ELLLayout)."""
+    """Row-split ELL grids of one graph structure, both orientations (the
+    ``TrainGrids`` shape, ops/stochastic.py): row grid for the forward
+    aggregation, column twin for the backward transpose.  Leaves are
+    numpy on purpose (trace-safe constants; see ELLLayout).
+
+    Two flavors: per-ORIGINAL-edge (``r_mult is None``) — every duplicate
+    (row, col) pair keeps its own softmax slot, required when attention
+    dropout draws per (edge, head); and duplicate-COALESCED
+    (``r_mult``/``c_mult`` hold per-slot pair multiplicities) — since
+    duplicates share identical scores, the per-edge softmax equals a
+    multiplicity-weighted softmax over unique pairs
+    (``alpha_j = m_j e_j / sum m e``), exact for the no-dropout passes
+    with ~half the gathered slots on symmetrized graphs."""
 
     n_nodes: int
     r_idx: np.ndarray   # (Vr, k) int32 source ids (pad -> n_nodes)
@@ -91,6 +100,8 @@ class AttnGrids:
     c_idx: np.ndarray   # (Vc, k) int32 destination ids (pad -> n_nodes)
     c_vrow: np.ndarray  # (Vc,)  int32 source row, non-decreasing
     c_eid: np.ndarray   # (Vc, k) uint32 original edge ids (pad -> E)
+    r_mult: Optional[np.ndarray] = None  # (Vr, k) f32 multiplicity (pad 0)
+    c_mult: Optional[np.ndarray] = None  # (Vc, k) f32
 
 
 def _route_eids(layout, n_edges: int) -> np.ndarray:
@@ -110,36 +121,71 @@ def _attn_k() -> int:
     return int(os.environ.get("GNNTF_ATTN_K", 16))
 
 
-def build_attn_grids(row, col, n_nodes: int) -> AttnGrids:
+def build_attn_grids(row, col, n_nodes: int,
+                     dedup: bool = False) -> AttnGrids:
     from .spmm import build_ell
     row = np.asarray(row, np.int64)
     col = np.asarray(col, np.int64)
     e = row.shape[0]
     k = _attn_k()
-    rl = build_ell(row, col, n_nodes, k, dedup=False)
-    cl = build_ell(col, row, n_nodes, k, dedup=False)
+    if not dedup:
+        rl = build_ell(row, col, n_nodes, k, dedup=False)
+        cl = build_ell(col, row, n_nodes, k, dedup=False)
+        return AttnGrids(n_nodes=n_nodes,
+                         r_idx=rl.idx, r_vrow=rl.vrow_row,
+                         r_eid=_route_eids(rl, e),
+                         c_idx=cl.idx, c_vrow=cl.vrow_row,
+                         c_eid=_route_eids(cl, e))
+
+    # duplicate-coalesced: unique (row, col) pairs + per-pair multiplicity
+    order = np.lexsort((col, row))
+    rs, cs = row[order], col[order]
+    new = np.ones(e, bool)
+    if e:
+        new[1:] = (rs[1:] != rs[:-1]) | (cs[1:] != cs[:-1])
+    uid = np.cumsum(new, dtype=np.int64) - 1
+    ru, cu = rs[new], cs[new]
+    mult = np.bincount(uid).astype(np.float32)
+
+    # coalescing roughly halves per-node degrees on symmetrized graphs,
+    # so the dedup grids use half the row-split width to keep the same
+    # slots-per-virtual-row balance (k=16's win is combine-count-driven;
+    # at halved degrees k=8 reaches the same virtual-row count)
+    kd = max(4, k // 2)
+
+    def one(r, c):
+        layout = build_ell(r, c, n_nodes, kd, dedup=False)
+        mg = np.zeros(layout.n_vrows * layout.k, np.float32)
+        mg[layout.slot] = mult
+        eg = np.full(layout.n_vrows * layout.k, len(ru), np.uint32)
+        eg[layout.slot] = np.arange(len(ru), dtype=np.uint32)
+        return layout, mg.reshape(layout.n_vrows, layout.k), \
+            eg.reshape(layout.n_vrows, layout.k)
+
+    rl, rm, re_ = one(ru, cu)
+    cl, cm, ce_ = one(cu, ru)
     return AttnGrids(n_nodes=n_nodes,
-                     r_idx=rl.idx, r_vrow=rl.vrow_row,
-                     r_eid=_route_eids(rl, e),
-                     c_idx=cl.idx, c_vrow=cl.vrow_row,
-                     c_eid=_route_eids(cl, e))
+                     r_idx=rl.idx, r_vrow=rl.vrow_row, r_eid=re_,
+                     c_idx=cl.idx, c_vrow=cl.vrow_row, c_eid=ce_,
+                     r_mult=rm, c_mult=cm)
 
 
 _ATTN_CACHE = None
 
 
-def _attn_grids(graph: Graph) -> AttnGrids:
+def _attn_grids(graph: Graph, dedup: bool = False) -> AttnGrids:
     from ..utils.idcache import IdLRU
     global _ATTN_CACHE
     if _ATTN_CACHE is None:
         _ATTN_CACHE = IdLRU()
     key = ("attn-grids", id(graph.row), id(graph.col), graph.n_nodes,
-           _attn_k())
+           _attn_k(), dedup)
     anchors = (graph.row, graph.col)
     grids = _ATTN_CACHE.get(key, anchors)
     if grids is None:
         grids = build_attn_grids(np.asarray(graph.row),
-                                 np.asarray(graph.col), graph.n_nodes)
+                                 np.asarray(graph.col), graph.n_nodes,
+                                 dedup=dedup)
         _ATTN_CACHE.put(key, anchors, grids)
     return grids
 
@@ -226,7 +272,13 @@ def _make_gat_core(grids: AttnGrids, negative_slope: float, keep: float):
     """
     r_idx, r_vrow, r_eid = grids.r_idx, grids.r_vrow, grids.r_eid
     c_idx, c_vrow, c_eid = grids.c_idx, grids.c_vrow, grids.c_eid
+    r_mult, c_mult = grids.r_mult, grids.c_mult
     n = grids.n_nodes
+
+    def _wmul(eg, mult):
+        """Weight exponentials by per-slot pair multiplicity (coalesced
+        grids): alpha_j = m_j e_j / sum m e == the per-edge softmax."""
+        return eg if mult is None else eg * jnp.asarray(mult)[:, :, None]
     slope = negative_slope
     pad_r = r_idx == n                        # (Vr, k) bool
     pad_c = c_idx == n
@@ -267,7 +319,7 @@ def _make_gat_core(grids: AttnGrids, negative_slope: float, keep: float):
                                    indices_are_sorted=True)
         rmax0 = jnp.where(jnp.isfinite(rmax), rmax, 0.0)
         eg = jnp.exp(sg - rmax0[r_vrow][:, None, :])
-        eg = jnp.where(pad_r[:, :, None], 0.0, eg)
+        eg = _wmul(jnp.where(pad_r[:, :, None], 0.0, eg), r_mult)
         denom = jax.ops.segment_sum(eg.sum(axis=1), r_vrow, num_segments=n,
                                     indices_are_sorted=True)
         dinv = 1.0 / jnp.maximum(denom, 1e-30)                # (N, H)
@@ -298,7 +350,7 @@ def _make_gat_core(grids: AttnGrids, negative_slope: float, keep: float):
         # -- row-grid pass: softmax row-dot + ds_dst ----------------------
         G, pre, sg, m = _row_quantities(h, s_src, s_dst, salt_f32)
         eg = jnp.exp(sg - rmax0[r_vrow][:, None, :])
-        eg = jnp.where(pad_r[:, :, None], 0.0, eg)
+        eg = _wmul(jnp.where(pad_r[:, :, None], 0.0, eg), r_mult)
         alpha = eg * dinv[r_vrow][:, None, :]                 # pre-dropout
         gh = G[:, :, :w].reshape(-1, r_idx.shape[1], h_cnt, f)
         gv = gf[r_vrow].reshape(-1, 1, h_cnt, f)              # (Vr,1,H,F)
@@ -332,7 +384,7 @@ def _make_gat_core(grids: AttnGrids, negative_slope: float, keep: float):
         pre_c = s_src[c_vrow][:, None, :] + sd_c              # (Vc, k, H)
         sg_c = jax.nn.leaky_relu(pre_c, negative_slope=slope)
         eg_c = jnp.exp(sg_c - rmax_c)
-        eg_c = jnp.where(pad_c[:, :, None], 0.0, eg_c)
+        eg_c = _wmul(jnp.where(pad_c[:, :, None], 0.0, eg_c), c_mult)
         alpha_c = eg_c * dinv_c
         m_c = _mask(c_eid, _salt(salt_f32), h_cnt, h.dtype)
         alpha_ct = alpha_c * m_c if m_c is not None else alpha_c
@@ -362,7 +414,13 @@ def _gat_attention_ell(graph, h, s_src, s_dst, *, negative_slope,
                        attn_dropout, salt):
     keep = 1.0 - attn_dropout if (attn_dropout and salt is not None) \
         else 1.0
-    grids = _attn_grids(graph)
+    # no-dropout passes (the clean eval forward, dropout-off training)
+    # run on the duplicate-coalesced grids: duplicates share identical
+    # scores, so multiplicity-weighted softmax over unique pairs is
+    # EXACTLY the per-edge softmax with ~half the gathered slots on
+    # symmetrized graphs.  Dropout draws per (original edge, head), so
+    # dropout passes keep the per-original grids.
+    grids = _attn_grids(graph, dedup=(keep >= 1.0))
     core = _gat_core(grids, negative_slope, keep)
     if salt is not None and keep < 1.0:
         salt_f32 = jax.lax.bitcast_convert_type(
