@@ -293,27 +293,33 @@ def _make_gat_core(grids: AttnGrids, negative_slope: float, keep: float):
     def _salt(salt_f32):
         return jax.lax.bitcast_convert_type(salt_f32, jnp.uint32)
 
-    def _row_quantities(h, s_src, s_dst, salt_f32):
-        """The one row-grid gather + fused score pipeline shared by the
-        forward and the backward's row pass."""
+    def _row_gather(h, s_src):
+        """The combined row-grid gather: per-source flattened
+        head-features + score half packed into one wide payload."""
         nn_, h_cnt, f = h.shape
         w = h_cnt * f
         table = jnp.concatenate([h.reshape(nn_, w), s_src], axis=1)
         tp = jnp.concatenate(
             [table, jnp.zeros((1, w + h_cnt), table.dtype)], axis=0)
-        G = tp[r_idx]                         # (Vr, k, W+H) — minor >= 64
+        return tp[r_idx]                      # (Vr, k, W+H) — minor >= 64
+
+    def _row_scores_from(G, s_dst, salt_f32, h_cnt, w, dtype):
+        """Fused score pipeline over an already-gathered payload — shared
+        by the forward and the backward's row pass (which reuses the
+        forward's G residual instead of re-gathering)."""
         gs = G[:, :, w:]                      # fused view (Vr, k, H)
         pre = gs + s_dst[r_vrow][:, None, :]
         sg = jax.nn.leaky_relu(pre, negative_slope=slope)
         sg = jnp.where(pad_r[:, :, None], jnp.asarray(-jnp.inf, sg.dtype),
                        sg)
-        m = _mask(r_eid, _salt(salt_f32), h_cnt, h.dtype)
-        return G, pre, sg, m
+        m = _mask(r_eid, _salt(salt_f32), h_cnt, dtype)
+        return pre, sg, m
 
     def fwd_impl(h, s_src, s_dst, salt_f32):
         nn_, h_cnt, f = h.shape
         w = h_cnt * f
-        G, pre, sg, m = _row_quantities(h, s_src, s_dst, salt_f32)
+        G = _row_gather(h, s_src)
+        pre, sg, m = _row_scores_from(G, s_dst, salt_f32, h_cnt, w, h.dtype)
         vmax = sg.max(axis=1)                                 # (Vr, H)
         rmax = jax.ops.segment_max(vmax, r_vrow, num_segments=n,
                                    indices_are_sorted=True)
@@ -331,24 +337,28 @@ def _make_gat_core(grids: AttnGrids, negative_slope: float, keep: float):
         part = part.reshape(-1, w)                            # (Vr, W)
         out = jax.ops.segment_sum(part, r_vrow, num_segments=n,
                                   indices_are_sorted=True)
-        return out.reshape(n, h_cnt, f), (rmax0, dinv)
+        return out.reshape(n, h_cnt, f), (G, rmax0, dinv)
 
     @jax.custom_vjp
     def core(h, s_src, s_dst, salt_f32):
         return fwd_impl(h, s_src, s_dst, salt_f32)[0]
 
     def fwd(h, s_src, s_dst, salt_f32):
-        out, (rmax0, dinv) = fwd_impl(h, s_src, s_dst, salt_f32)
-        return out, (h, s_src, s_dst, rmax0, dinv, salt_f32)
+        out, (G, rmax0, dinv) = fwd_impl(h, s_src, s_dst, salt_f32)
+        # G is kept as a residual (~V*k*(W+H)*4 bytes): the backward's
+        # row pass then skips a full combined-table re-gather — the
+        # single most expensive op of the pass — for HBM the post-layout
+        # chain has to spare
+        return out, (G, h, s_src, s_dst, rmax0, dinv, salt_f32)
 
     def bwd(res, g):
-        h, s_src, s_dst, rmax0, dinv, salt_f32 = res
+        G, h, s_src, s_dst, rmax0, dinv, salt_f32 = res
         nn_, h_cnt, f = h.shape
         w = h_cnt * f
         gf = g.reshape(nn_, w)
 
         # -- row-grid pass: softmax row-dot + ds_dst ----------------------
-        G, pre, sg, m = _row_quantities(h, s_src, s_dst, salt_f32)
+        pre, sg, m = _row_scores_from(G, s_dst, salt_f32, h_cnt, w, h.dtype)
         eg = jnp.exp(sg - rmax0[r_vrow][:, None, :])
         eg = _wmul(jnp.where(pad_r[:, :, None], 0.0, eg), r_mult)
         alpha = eg * dinv[r_vrow][:, None, :]                 # pre-dropout
