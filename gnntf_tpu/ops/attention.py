@@ -7,10 +7,13 @@ E-sized gathers — exactly the op class the grid work of r3 measured at
 ~18 ms each on TPU (documentation/performance.md).
 
 The ELL formulation reuses the row-split layout machinery
-(ops/spmm.build_ell, ``dedup=False`` so every original edge keeps its own
-slot and duplicate (row, col) pairs keep their *separate* softmax
-contributions, matching the per-edge segment path bit-for-bit in
-structure):
+(ops/spmm.build_ell) in two flavors: per-original-edge grids (every
+duplicate (row, col) pair keeps its own softmax slot — required when
+attention dropout draws per (edge, head)) and duplicate-coalesced grids
+with per-slot multiplicities for the no-dropout passes (exact:
+duplicates share identical scores, so ``alpha_j = m_j e_j / sum m e``
+IS the per-edge softmax — ~half the gathered slots on symmetrized
+graphs; the serving path).  The chain either way:
 
   * scores:   ``s_src[idx] + s_dst[vrow]`` — a (V, k, H) gather of an
     (N, H) table + broadcast, padding masked to -inf;
